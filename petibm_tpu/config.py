@@ -1,0 +1,139 @@
+"""Configuration loading: YAML + CLI overrides + solver option files.
+
+Mirrors the reference's capability surface (reference: src/parser/parser.cpp
+:175-237 getSettings): a case directory with ``config.yaml`` whose ``mesh``,
+``flow``, ``parameters``, ``bodies``, ``probes`` nodes may each be overridden
+by a separate file, plus ``output``/``logs`` directory settings.  Linear
+solver configs referenced from ``parameters.<name>Solver.config`` are PETSc
+options files; a small subset of KSP options is understood and mapped onto
+the native TPU Krylov solvers (reference: src/linsolver/linsolverksp.cpp:48-107).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import yaml
+
+
+def load_config(
+    directory: str | None = None,
+    config: str | None = None,
+    mesh: str | None = None,
+    flow: str | None = None,
+    parameters: str | None = None,
+    bodies: str | None = None,
+    probes: str | None = None,
+    output: str | None = None,
+    logs: str | None = None,
+) -> dict:
+    """Build the merged settings dict.
+
+    Follows the reference's precedence (parser.cpp:175-237): the case
+    directory defaults to cwd; the main YAML defaults to
+    ``<directory>/config.yaml``; individual nodes may be overridden by
+    dedicated files; ``output`` defaults to ``<directory>/output`` and
+    ``logs`` to ``<output>/logs``; both directories are created.
+    """
+    directory = os.path.abspath(directory or os.getcwd())
+    config_path = config or os.path.join(directory, "config.yaml")
+
+    settings: dict[str, Any] = {"directory": directory}
+
+    if os.path.isfile(config_path):
+        with open(config_path) as fh:
+            node = yaml.safe_load(fh) or {}
+        settings.update(node)
+
+    for key, path in (("mesh", mesh), ("flow", flow), ("parameters", parameters),
+                      ("bodies", bodies), ("probes", probes)):
+        if path is not None:
+            with open(path) as fh:
+                settings[key] = yaml.safe_load(fh)
+
+    out = output or settings.get("output") or os.path.join(directory, "output")
+    if not os.path.isabs(out):
+        out = os.path.join(directory, out)
+    settings["output"] = out
+
+    log = logs or settings.get("logs") or os.path.join(out, "logs")
+    if not os.path.isabs(log):
+        log = os.path.join(directory, log)
+    settings["logs"] = log
+
+    os.makedirs(out, exist_ok=True)
+    os.makedirs(log, exist_ok=True)
+    return settings
+
+
+_KSP_DEFAULTS = {
+    "type": "cg",  # reference default KSPCG (linsolverksp.cpp:75)
+    "atol": 1e-6,
+    "rtol": 1e-5,
+    "max_it": 10000,
+    "pc": "jacobi",
+}
+
+
+def parse_solver_options(path: str | None, directory: str | None = None) -> dict:
+    """Parse a PETSc-style options file into native solver settings.
+
+    Understood keys (with or without a solver prefix such as
+    ``-velocity_``): ``ksp_type`` (cg | bcgs -> bicgstab), ``ksp_atol``,
+    ``ksp_rtol``, ``ksp_max_it``, ``pc_type`` (none | jacobi | gamg/mg -> mg).
+    Unknown options are ignored, matching the spirit of PETSc's permissive
+    option handling.
+    """
+    opts = dict(_KSP_DEFAULTS)
+    if not path:
+        return opts
+    if directory and not os.path.isabs(path):
+        path = os.path.join(directory, path)
+    if not os.path.isfile(path):
+        return opts
+    with open(path) as fh:
+        for raw in fh:
+            line = raw.split("#")[0].split("//")[0].strip()
+            if not line or not line.startswith("-"):
+                continue
+            parts = line.split()
+            key = parts[0].lstrip("-")
+            val = parts[1] if len(parts) > 1 else "true"
+            # strip solver prefixes like velocity_/poisson_/forces_
+            for prefix in ("velocity_", "poisson_", "forces_"):
+                if key.startswith(prefix):
+                    key = key[len(prefix):]
+            if key == "ksp_type":
+                opts["type"] = {"cg": "cg", "bcgs": "bicgstab",
+                                "bicg": "bicgstab"}.get(val, val)
+            elif key == "ksp_atol":
+                opts["atol"] = float(val)
+            elif key == "ksp_rtol":
+                opts["rtol"] = float(val)
+            elif key == "ksp_max_it":
+                opts["max_it"] = int(val)
+            elif key == "pc_type":
+                opts["pc"] = {"none": "none", "jacobi": "jacobi", "gamg": "mg",
+                              "mg": "mg", "hypre": "mg"}.get(val, val)
+    return opts
+
+
+def solver_config(config: dict, name: str) -> dict:
+    """Resolve ``parameters.<name>Solver`` into native solver settings.
+
+    The reference dispatches on ``type: CPU|GPU`` to KSP vs AmgX
+    (linsolver.cpp:57-91); here both run on the same backend but ``GPU``
+    (AmgX) selects the reference's pinned-pressure nullspace treatment
+    (navierstokes.cpp:414-420) while ``CPU`` projects out the constant
+    nullspace.
+    """
+    params = config.get("parameters", {})
+    node = params.get(f"{name}Solver", {}) or {}
+    opts = parse_solver_options(node.get("config"), config.get("directory"))
+    opts["backend"] = node.get("type", "CPU")
+    # allow inline overrides in YAML (native extension)
+    for key in ("type", "atol", "rtol", "max_it", "pc"):
+        if key in node:
+            opts[key] = node[key]
+    return opts

@@ -1,0 +1,132 @@
+"""Matrix-free preconditioned CG and BiCGStab over arbitrary pytrees.
+
+Replaces PETSc KSP (reference: src/linsolver/linsolverksp.cpp:48-107): the
+reference's velocity solve is BiCGStab + Jacobi, the Poisson solve CG + AMG.
+Stopping criterion matches KSP's default ``||r|| <= max(atol, rtol*||b||)``
+with the reference example tolerances (atol 1e-6, rtol 0; BASELINE.md).
+
+Everything runs inside ``lax.while_loop`` so a whole time step jits into a
+single XLA computation; iteration counts and final residuals are returned
+for the per-step iterations log (reference: navierstokes.cpp:766-794).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+tmap = jax.tree_util.tree_map
+
+
+def _dot(x, y):
+    leaves = jax.tree_util.tree_leaves(tmap(lambda a, b: jnp.sum(a * b), x, y))
+    return sum(leaves)
+
+
+def _norm(x):
+    return jnp.sqrt(_dot(x, x))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SolveResult:
+    x: object
+    iters: jnp.ndarray
+    residual: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def _identity(x):
+    return x
+
+
+def cg(A, b, x0, M=None, atol=1e-6, rtol=0.0, maxiter=10000) -> SolveResult:
+    """Preconditioned conjugate gradient (matches KSPCG semantics)."""
+    M = M or _identity
+    r = tmap(lambda bi, ax: bi - ax, b, A(x0))
+    z = M(r)
+    p = z
+    rz = _dot(r, z)
+    bnorm = _norm(b)
+    tol = jnp.maximum(atol, rtol * bnorm)
+
+    def cond(state):
+        _, r, _, _, _, it = state
+        return jnp.logical_and(_norm(r) > tol, it < maxiter)
+
+    def body(state):
+        x, r, p, rz, _, it = state
+        ap = A(p)
+        alpha = rz / _dot(p, ap)
+        x = tmap(lambda xi, pi: xi + alpha * pi, x, p)
+        r = tmap(lambda ri, api: ri - alpha * api, r, ap)
+        z = M(r)
+        rz_new = _dot(r, z)
+        beta = rz_new / rz
+        p = tmap(lambda zi, pi: zi + beta * pi, z, p)
+        return x, r, p, rz_new, beta, it + 1
+
+    x, r, p, rz, _, it = jax.lax.while_loop(
+        cond, body, (x0, r, p, rz, jnp.asarray(0.0, rz.dtype),
+                     jnp.asarray(0, jnp.int32)))
+    res = _norm(r)
+    return SolveResult(x=x, iters=it, residual=res, converged=res <= tol)
+
+
+def bicgstab(A, b, x0, M=None, atol=1e-6, rtol=0.0, maxiter=10000) -> SolveResult:
+    """Preconditioned BiCGStab (matches KSPBCGS semantics)."""
+    M = M or _identity
+    r = tmap(lambda bi, ax: bi - ax, b, A(x0))
+    r0 = r
+    bnorm = _norm(b)
+    tol = jnp.maximum(atol, rtol * bnorm)
+    dtype = bnorm.dtype
+    one = jnp.asarray(1.0, dtype)
+    zero_x = tmap(jnp.zeros_like, x0)
+
+    # state: x, r, p, v, rho, alpha, omega, it
+    init = (x0, r, zero_x, zero_x, one, one, one, jnp.asarray(0, jnp.int32))
+
+    def cond(state):
+        _, r, _, _, _, _, _, it = state
+        return jnp.logical_and(_norm(r) > tol, it < maxiter)
+
+    def body(state):
+        x, r, p, v, rho, alpha, omega, it = state
+        rho_new = _dot(r0, r)
+        beta = (rho_new / rho) * (alpha / omega)
+        p = tmap(lambda ri, pi, vi: ri + beta * (pi - omega * vi), r, p, v)
+        phat = M(p)
+        v = A(phat)
+        alpha = rho_new / _dot(r0, v)
+        s = tmap(lambda ri, vi: ri - alpha * vi, r, v)
+        shat = M(s)
+        t = A(shat)
+        tt = _dot(t, t)
+        omega = jnp.where(tt > 0, _dot(t, s) / jnp.where(tt > 0, tt, one), one)
+        x = tmap(lambda xi, ph, sh: xi + alpha * ph + omega * sh, x, phat, shat)
+        r = tmap(lambda si, ti: si - omega * ti, s, t)
+        return x, r, p, v, rho_new, alpha, omega, it + 1
+
+    x, r, *_, it = jax.lax.while_loop(cond, body, init)
+    res = _norm(r)
+    return SolveResult(x=x, iters=it, residual=res, converged=res <= tol)
+
+
+_METHODS = {"cg": cg, "bicgstab": bicgstab}
+
+
+def make_solver(A, opts: dict, M=None):
+    """Bind an operator + solver options into ``solve(b, x0) -> SolveResult``
+    (the native analogue of linsolver::createLinSolver,
+    reference: src/linsolver/linsolver.cpp:57-91)."""
+    method = _METHODS[opts.get("type", "cg")]
+    return partial(_solve, method, A, M, float(opts.get("atol", 1e-6)),
+                   float(opts.get("rtol", 0.0)), int(opts.get("max_it", 10000)))
+
+
+def _solve(method, A, M, atol, rtol, maxiter, b, x0):
+    return method(A, b, x0, M=M, atol=atol, rtol=rtol, maxiter=maxiter)
