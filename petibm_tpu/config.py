@@ -132,8 +132,11 @@ def solver_config(config: dict, name: str) -> dict:
     node = params.get(f"{name}Solver", {}) or {}
     opts = parse_solver_options(node.get("config"), config.get("directory"))
     opts["backend"] = node.get("type", "CPU")
-    # allow inline overrides in YAML (native extension)
-    for key in ("type", "atol", "rtol", "max_it", "pc"):
+    # allow inline overrides in YAML (native extension); note node "type" is
+    # the reference's CPU/GPU backend switch, so the Krylov method override
+    # is spelled "kspType" here
+    for key, opt in (("kspType", "type"), ("atol", "atol"), ("rtol", "rtol"),
+                     ("max_it", "max_it"), ("pc", "pc")):
         if key in node:
-            opts[key] = node[key]
+            opts[opt] = node[key]
     return opts

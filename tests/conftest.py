@@ -7,7 +7,9 @@ references; multi-device tests use the virtual CPU mesh
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the session env pins JAX_PLATFORMS to the TPU plugin, and two
+# processes contending for the single chip deadlock — tests must never touch it
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
