@@ -1,0 +1,16 @@
+"""Distribution over a jax device mesh.
+
+Replaces the reference's MPI/PETSc DMDA domain decomposition
+(reference: cartesianmesh.cpp:492-538, SURVEY.md §2 backend row).  Fields
+are dense arrays sharded over a ``jax.sharding.Mesh``; XLA GSPMD inserts
+the halo exchanges for the stencil slice arithmetic and lowers the Krylov
+dot products to psum over ICI — there is no hand-written halo code, exactly
+as the reference has none (PETSc's DMGlobalToLocal fills the same role).
+"""
+
+from .dist import (  # noqa: F401
+    constrain_state,
+    device_mesh,
+    shard_state,
+    state_shardings,
+)
