@@ -70,16 +70,14 @@ def main() -> int:
     solver = NavierStokesSolver(build_config(tmpdir))
 
     warmup, iters = 5, 30
-    state = (solver.q, solver.p, solver.bcstate, solver.conv, solver.diff)
+    state = solver.state
     for _ in range(warmup):
-        *state_parts, stats = solver._step_fn(*state)
-        state = tuple(state_parts)
+        state, stats = solver._step_fn(state)
     jax.block_until_ready(state)
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        *state_parts, stats = solver._step_fn(*state)
-        state = tuple(state_parts)
+        state, stats = solver._step_fn(state)
     jax.block_until_ready(state)
     elapsed = time.perf_counter() - t0
 

@@ -1,0 +1,174 @@
+"""Fully-coupled immersed-boundary projection method (Taira & Colonius 2007).
+
+TPU-native re-design of the reference's IBPMSolver
+(reference: applications/ibpm/ibpm.{h,cpp}).  The reference appends the
+Lagrangian forces to the pressure unknown via nested matrices
+([G, -H] and [D; E] converted to AIJ, ibpm.cpp:100-203) and solves the
+modified Poisson system with the same Krylov machinery.  Here the combined
+unknown is the pytree {"p": pressure, "f": forces} and the block operator
+
+    M [p, f] = [ D B_N (G p - H f),  E B_N (G p - H f) ]
+
+is applied matrix-free (G/D are stencils, E/H delta windows).  M is
+symmetric negative semidefinite (D^T = -vol*G, E = Delta*vol, H = Delta^T,
+and vol*B_N is symmetric), with nullspace = constant in the pressure block
+only (setNullSpace, ibpm.cpp:242-283), so CG applies exactly as in the
+reference.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import solver_config
+from ..ibm.body import BodyPack
+from ..ibm.interp import DeltaOp
+from ..linalg import extract_diagonal, make_solver
+from ..types import Field
+from .navierstokes import NavierStokesSolver
+
+tmap = jax.tree_util.tree_map
+
+
+class IBPMSolver(NavierStokesSolver):
+    def _extra_init(self, config: dict) -> None:
+        self.bodies = BodyPack(config, self.mesh)
+        if self.bodies.n_bodies == 0:
+            raise ValueError("IBPM requires at least one body")
+        kernel = config.get("parameters", {}).get("delta", "ROMA_ET_AL_1999")
+        self.delta = DeltaOp(self.mesh, kernel, self.dtype)
+        self.state["f"] = jnp.zeros((self.bodies.n_pts, self.mesh.dim),
+                                    self.dtype)
+        self._win = self.delta.windows(
+            jnp.asarray(self.bodies.all_coords(), self.dtype))
+        self._create_coupled_poisson(config)
+        self._forces_log = None
+
+    # ------------------------------------------------------------------
+    def _create_coupled_poisson(self, config: dict) -> None:
+        """The modified Poisson operator and its solver, replacing the
+        base class's pressure-only system (createOperators, ibpm.cpp:184-197)."""
+        delta, win, bn = self.delta, self._win, self.bn
+        grad, div = self.grad, self.div
+        popts = solver_config(config, "poisson")
+        self.is_ref_p = popts.get("backend") == "GPU"
+
+        def G_combined(phi):
+            gp = grad(phi["p"])
+            hf = delta.spread(phi["f"], win)
+            return tmap(lambda a, b: a - b, gp, hf)
+
+        def M(phi):
+            w = bn(G_combined(phi))
+            return {"p": div(w, None, homogeneous=True),
+                    "f": delta.interpolate(w, win)}
+
+        if self.is_ref_p:
+            def A_p(phi):
+                pflat = phi["p"].reshape(-1)
+                phi0 = dict(phi, p=pflat.at[0].set(0.0).reshape(phi["p"].shape))
+                y = M(phi0)
+                yp = y["p"].reshape(-1).at[0].set(pflat[0])
+                return dict(y, p=yp.reshape(y["p"].shape))
+        else:
+            A_p = M
+
+        def negM(phi):
+            return tmap(lambda x: -x, A_p(phi))
+
+        self._G_combined = G_combined
+
+        # Jacobi: lattice-probe the pressure block; analytic order-1 diag
+        # for the force block (diag(E B1 H) = dt * prod_d sum_k wd*wv)
+        diag_p = extract_diagonal(
+            lambda p: -self.div(bn(grad(p)), None, homogeneous=True),
+            jnp.zeros(self.mesh.shape(Field.P), self.dtype),
+            radius=self.bn_order)
+        cols = []
+        for c in range(self.mesh.dim):
+            w = win[c]
+            prod = None
+            for d in range(self.mesh.dim):
+                s = jnp.sum(w["sd"][d] * w["sv"][d], axis=1)
+                prod = s if prod is None else prod * s
+            cols.append(self.dt * prod)
+        diag_f = jnp.maximum(jnp.stack(cols, axis=1), 1e-30)
+
+        def M_jac(r):
+            return {"p": r["p"] / diag_p, "f": r["f"] / diag_f}
+
+        M_pre = M_jac if popts.get("pc") != "none" else None
+        self._coupled_solver = make_solver(negM, popts, M=M_pre)
+
+    # ------------------------------------------------------------------
+    def _build_step(self):
+        def step(state):
+            # momentum: identical to plain NS (no H f term; forces enter
+            # through the combined projection)
+            rhs1, state = self._rhs_velocity(state)
+            vsol = self._solve_velocity(rhs1, state)
+            ustar = vsol.x
+
+            # combined Poisson RHS: [D u* + Dbc ; E u*]
+            # (assembleRHSPoisson, ibpm.cpp:286-313)
+            rhs_p = self.div(ustar, state["bc"])
+            rhs_f = self.delta.interpolate(ustar, self._win)
+            if self.is_ref_p:
+                rhs_p = rhs_p.reshape(-1).at[0].set(0.0).reshape(rhs_p.shape)
+            else:
+                rhs_p = rhs_p - jnp.mean(rhs_p)
+            rhs = {"p": -rhs_p, "f": -rhs_f}
+
+            phi0 = {"p": jnp.zeros_like(state["p"]),
+                    "f": jnp.zeros_like(state["f"])}
+            psol = self._coupled_solver(rhs, phi0)
+            dphi = psol.x
+            if not self.is_ref_p:
+                dphi = dict(dphi, p=dphi["p"] - jnp.mean(dphi["p"]))
+
+            # projection u -= B_N (G dp - H df); phi += dphi
+            qnew = tmap(lambda u, g: u - g, ustar,
+                        self.bn(self._G_combined(dphi)))
+            bcstate = self.bc.update_ghost_values(state["bc"], qnew)
+            stats = {"v_iters": vsol.iters, "v_res": vsol.residual,
+                     "p_iters": psol.iters, "p_res": psol.residual}
+            return dict(state, q=qnew, p=state["p"] + dphi["p"],
+                        f=state["f"] + dphi["f"], bc=bcstate), stats
+
+        return step
+
+    # ------------------------------------------------------------------
+    def _restart_extra(self) -> dict:
+        return {"force": self.state["f"]}
+
+    def _read_restart_extra(self, extra: dict) -> None:
+        if "force" in extra:
+            self.state["f"] = jnp.asarray(
+                extra["force"].reshape(self.bodies.n_pts, self.mesh.dim),
+                self.dtype)
+
+    def write(self) -> None:
+        super().write()
+        self.write_forces_ascii()
+
+    def write_forces_ascii(self) -> None:
+        """forces-<start>.txt (writeForcesASCII, ibpm.cpp:388-423)."""
+        if self._forces_log is None:
+            self._forces_log = open(os.path.join(
+                self.output_dir, f"forces-{self.nstart}.txt"), "w")
+        with self.timers.stage("integrateForces"):
+            favg = self.bodies.avg_forces(np.asarray(self.state["f"]))
+        cols = [f"{self.t:10.8e}"]
+        for body_force in favg:
+            cols.extend(f"{v:10.8e}" for v in body_force)
+        self._forces_log.write("\t".join(cols) + "\n")
+        self._forces_log.flush()
+
+    def close(self) -> None:
+        super().close()
+        if self._forces_log and not self._forces_log.closed:
+            self._forces_log.close()

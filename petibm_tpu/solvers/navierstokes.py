@@ -15,16 +15,18 @@ Scheme (Perot 1993 fractional step, navierstokes.cpp:240-266):
   4. solve D B_N G dp = rhs2                                          (:566)
   5. u = u* - B_N G dp ; p += dp                                      (:583-615)
   6. refresh ghost values                                             (:263)
+
+The IBM solvers subclass this driver exactly like the reference's class
+hierarchy (SURVEY.md §1) via the ``_extra_init`` hook and ``_build_step``
+override; solver state is one dict pytree so subclasses can extend it.
 """
 
 from __future__ import annotations
 
 import os
-import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .. import io as pio
 from ..boundary import BoundarySet
@@ -53,8 +55,8 @@ def _default_dtype():
 
 
 class NavierStokesSolver:
-    """The projection-method driver (library-composable, like the reference's
-    class reused by IBPM/decoupled-IBPM through inheritance)."""
+    """The projection-method driver (library-composable; IBPM and the
+    decoupled IBPM inherit the skeleton, reference: navierstokes.h:29-292)."""
 
     def __init__(self, config: dict):
         self.config = config
@@ -87,25 +89,36 @@ class NavierStokesSolver:
 
         # initial conditions (solutionsimple.cpp:122-228)
         fields0 = initial_fields(config, self.mesh, t=self.t)
-        self.q = {VEL_NAMES[c]: jnp.asarray(fields0[VEL_NAMES[c]], self.dtype)
-                  for c in range(self.mesh.dim)}
-        self.p = jnp.asarray(fields0["p"], self.dtype)
-        self.bcstate = self.bc.init_state(self.q, self.dtype)
+        q = {VEL_NAMES[c]: jnp.asarray(fields0[VEL_NAMES[c]], self.dtype)
+             for c in range(self.mesh.dim)}
+        self.state = {
+            "q": q,
+            "p": jnp.asarray(fields0["p"], self.dtype),
+            "bc": None,  # filled below
+            "conv": (),
+            "diff": (),
+        }
+        self.state["bc"] = self.bc.init_state(q, self.dtype)
 
         self.conv_ti = create_time_integration("convection", config)
         self.diff_ti = create_time_integration("diffusion", config)
-        zero_q = tmap(jnp.zeros_like, self.q)
-        self.conv = tuple(zero_q for _ in range(self.conv_ti.n_explicit))
-        self.diff = tuple(zero_q for _ in range(self.diff_ti.n_explicit))
+        zero_q = tmap(jnp.zeros_like, q)
+        self.state["conv"] = tuple(zero_q for _ in range(self.conv_ti.n_explicit))
+        self.state["diff"] = tuple(zero_q for _ in range(self.diff_ti.n_explicit))
 
         self._create_operators(config)
         self._create_solvers(config)
+        self._create_probes(config)
+        self._extra_init(config)
         self._step_fn = jax.jit(self._build_step())
 
         self.iter_log_path = os.path.join(
             self.output_dir, f"iterations-{self.ite}.txt")
         self._iter_log = open(self.iter_log_path, "w")
         self._last_stats = None
+
+    def _extra_init(self, config: dict) -> None:
+        """Subclass hook (bodies, extra operators/solvers)."""
 
     # ------------------------------------------------------------------
     def _create_operators(self, config: dict) -> None:
@@ -140,8 +153,9 @@ class NavierStokesSolver:
         mesh, dtype = self.mesh, self.dtype
 
         # Jacobi preconditioners from probed exact diagonals
-        diag_mom = extract_diagonal(
-            self.A_momentum, tmap(jnp.zeros_like, self.q), radius=1)
+        q = self.state["q"]
+        diag_mom = extract_diagonal(self.A_momentum, tmap(jnp.zeros_like, q),
+                                    radius=1)
         M_mom = ((lambda r: tmap(lambda a, b: a / b, r, diag_mom))
                  if vopts.get("pc") != "none" else None)
 
@@ -175,66 +189,67 @@ class NavierStokesSolver:
             config.get("parameters", {}).get("warmStart", False))
 
     # ------------------------------------------------------------------
-    def _build_step(self):
-        """One time step as a pure function (advance, navierstokes.cpp:240)."""
+    # step building blocks, shared with the IBM subclasses
+    def _rhs_velocity(self, state):
+        """assembleRHSVelocity (navierstokes.cpp:432-521); returns
+        (rhs1, updated state)."""
         dt, nu = self.dt, self.nu
-        conv_coeffs = self.conv_ti.explicit_coeffs
-        diff_coeffs = self.diff_ti.explicit_coeffs
         cimp = self.diff_ti.implicit_coeff
-        bc, grad, div, lap, convect, bn = (
-            self.bc, self.grad, self.div, self.lap, self.convect, self.bn)
-        warm = self.warm_start
-        is_ref_p = self.is_ref_p
+        q, p, bcstate = state["q"], state["p"], state["bc"]
+        conv, diff = state["conv"], state["diff"]
 
-        def step(q, p, bcstate, conv, diff):
-            # ---- assembleRHSVelocity (navierstokes.cpp:432-521) ----
-            gp = grad(p)
-            rhs1 = tmap(lambda u, g: u / dt - g, q, gp)
-            if conv_coeffs:
-                conv = (tmap(lambda x: -x, convect(q, bcstate)),) + conv[:-1]
-                for c, h in zip(conv_coeffs, conv):
-                    rhs1 = tmap(lambda r, x: r + c * x, rhs1, h)
-            if diff_coeffs:
-                diff = (tmap(lambda x: nu * x, lap(q, bcstate)),) + diff[:-1]
-                for c, h in zip(diff_coeffs, diff):
-                    rhs1 = tmap(lambda r, x: r + c * x, rhs1, h)
-            # implicit BC correction: update a1, add a_imp * nu * Lbc u
-            bcstate = bc.update_eqs(bcstate, q, dt)
-            if cimp != 0.0:
-                lfull = lap(q, bcstate)
-                lhom = lap(q, None, homogeneous=True)
-                rhs1 = tmap(lambda r, a, b: r + cimp * nu * (a - b),
-                            rhs1, lfull, lhom)
+        gp = self.grad(p)
+        rhs1 = tmap(lambda u, g: u / dt - g, q, gp)
+        if self.conv_ti.explicit_coeffs:
+            conv = (tmap(lambda x: -x, self.convect(q, bcstate)),) + conv[:-1]
+            for c, h in zip(self.conv_ti.explicit_coeffs, conv):
+                rhs1 = tmap(lambda r, x: r + c * x, rhs1, h)
+        if self.diff_ti.explicit_coeffs:
+            diff = (tmap(lambda x: nu * x, self.lap(q, bcstate)),) + diff[:-1]
+            for c, h in zip(self.diff_ti.explicit_coeffs, diff):
+                rhs1 = tmap(lambda r, x: r + c * x, rhs1, h)
+        # implicit BC correction: update a1, add a_imp * nu * Lbc u
+        bcstate = self.bc.update_eqs(bcstate, q, dt)
+        if cimp != 0.0:
+            lfull = self.lap(q, bcstate)
+            lhom = self.lap(q, None, homogeneous=True)
+            rhs1 = tmap(lambda r, a, b: r + cimp * nu * (a - b),
+                        rhs1, lfull, lhom)
+        state = dict(state, bc=bcstate, conv=conv, diff=diff)
+        return rhs1, state
 
-            # ---- solveVelocity (:524-537) ----
-            x0 = q if warm else tmap(jnp.zeros_like, q)
-            vsol = self.v_solver(rhs1, x0)
-            ustar = vsol.x
+    def _solve_velocity(self, rhs1, state):
+        x0 = state["q"] if self.warm_start else tmap(jnp.zeros_like, state["q"])
+        return self.v_solver(rhs1, x0)
 
-            # ---- assembleRHSPoisson (:540-563) ----
-            rhs2 = div(ustar, bcstate)
-            if is_ref_p:
-                flat = rhs2.reshape(-1).at[0].set(0.0)
-                rhs2 = flat.reshape(rhs2.shape)
-            else:
-                rhs2 = rhs2 - jnp.mean(rhs2)  # nullspace-consistent RHS
+    def _poisson_project(self, ustar, state):
+        """assembleRHSPoisson + solvePoisson + projection + pressure update
+        (navierstokes.cpp:540-615); returns (q, p, poisson result)."""
+        p, bcstate = state["p"], state["bc"]
+        rhs2 = self.div(ustar, bcstate)
+        if self.is_ref_p:
+            rhs2 = rhs2.reshape(-1).at[0].set(0.0).reshape(rhs2.shape)
+        else:
+            rhs2 = rhs2 - jnp.mean(rhs2)  # nullspace-consistent RHS
+        psol = self.p_solver(-rhs2, jnp.zeros_like(p))
+        dP = psol.x
+        if not self.is_ref_p:
+            dP = dP - jnp.mean(dP)
+        qnew = tmap(lambda u, g: u - g, ustar, self.bn(self.grad(dP)))
+        return qnew, p + dP, psol
 
-            # ---- solvePoisson (:566-580) ----
-            psol = self.p_solver(-rhs2, jnp.zeros_like(p))
-            dP = psol.x
-            if not is_ref_p:
-                dP = dP - jnp.mean(dP)
+    def _build_step(self):
+        """One time step as a pure state->state function
+        (advance, navierstokes.cpp:240-266)."""
 
-            # ---- projection + pressure update (:583-615) ----
-            qnew = tmap(lambda u, g: u - g, ustar, bn(grad(dP)))
-            pnew = p + dP
-
-            # ---- ghost refresh (:263) ----
-            bcstate = bc.update_ghost_values(bcstate, qnew)
-
+        def step(state):
+            rhs1, state = self._rhs_velocity(state)
+            vsol = self._solve_velocity(rhs1, state)
+            qnew, pnew, psol = self._poisson_project(vsol.x, state)
+            bcstate = self.bc.update_ghost_values(state["bc"], qnew)
             stats = {"v_iters": vsol.iters, "v_res": vsol.residual,
                      "p_iters": psol.iters, "p_res": psol.residual}
-            return qnew, pnew, bcstate, conv, diff, stats
+            return dict(state, q=qnew, p=pnew, bc=bcstate), stats
 
         return step
 
@@ -243,17 +258,16 @@ class NavierStokesSolver:
         self.t += self.dt
         self.ite += 1
         with self.timers.stage("step"):
-            (self.q, self.p, self.bcstate, self.conv, self.diff,
-             self._last_stats) = self._step_fn(
-                self.q, self.p, self.bcstate, self.conv, self.diff)
+            self.state, self._last_stats = self._step_fn(self.state)
 
     def finished(self) -> bool:
         return self.ite >= self.nstart + self.nt
 
     # ------------------------------------------------------------------
     def _solution_fields(self) -> dict:
-        out = {VEL_NAMES[c]: self.q[VEL_NAMES[c]] for c in range(self.mesh.dim)}
-        out["p"] = self.p
+        out = {VEL_NAMES[c]: self.state["q"][VEL_NAMES[c]]
+               for c in range(self.mesh.dim)}
+        out["p"] = self.state["p"]
         return out
 
     def _snapshot_path(self) -> str:
@@ -275,8 +289,9 @@ class NavierStokesSolver:
         if not os.path.isfile(path):
             self.write_solution_hdf5(path)
         pio.write_restart_histories(
-            path, self.mesh.dim, [jax.block_until_ready(h) for h in self.conv],
-            [jax.block_until_ready(h) for h in self.diff],
+            path, self.mesh.dim,
+            [jax.block_until_ready(h) for h in self.state["conv"]],
+            [jax.block_until_ready(h) for h in self.state["diff"]],
             extra=self._restart_extra())
 
     def _restart_extra(self) -> dict:
@@ -285,23 +300,23 @@ class NavierStokesSolver:
     def read_restart_data_hdf5(self, path: str) -> None:
         names = [VEL_NAMES[c] for c in range(self.mesh.dim)] + ["p"]
         data = pio.read_solution(path, names)
-        self.q = {n: jnp.asarray(data[n], self.dtype)
-                  for n in names if n != "p"}
-        self.p = jnp.asarray(data["p"], self.dtype)
+        q = {n: jnp.asarray(data[n], self.dtype) for n in names if n != "p"}
+        self.state["q"] = q
+        self.state["p"] = jnp.asarray(data["p"], self.dtype)
         self.t = pio.read_time(path)
         shapes = {VEL_NAMES[c]: self.mesh.shape(Field(c))
                   for c in range(self.mesh.dim)}
         conv, diff, extra = pio.read_restart_histories(
-            path, self.mesh.dim, shapes, len(self.conv), len(self.diff),
-            extra_names=tuple(self._restart_extra()))
-        self.conv = tuple(
+            path, self.mesh.dim, shapes, len(self.state["conv"]),
+            len(self.state["diff"]), extra_names=tuple(self._restart_extra()))
+        self.state["conv"] = tuple(
             {k: jnp.asarray(v, self.dtype) for k, v in h.items()} for h in conv)
-        self.diff = tuple(
+        self.state["diff"] = tuple(
             {k: jnp.asarray(v, self.dtype) for k, v in h.items()} for h in diff)
         self._read_restart_extra(extra)
         # TODO(reference parity): like the reference (navierstokes.cpp:742),
         # convective-BC ghost state is re-initialized, not restored exactly.
-        self.bcstate = self.bc.init_state(self.q, self.dtype)
+        self.state["bc"] = self.bc.init_state(q, self.dtype)
 
     def _read_restart_extra(self, extra: dict) -> None:
         pass
@@ -319,18 +334,41 @@ class NavierStokesSolver:
                 self.write_restart_data_hdf5(self._snapshot_path())
         self.monitor_probes()
 
+    def _iter_log_stats(self) -> list[tuple]:
+        s = self._last_stats
+        return [(s["v_iters"], s["v_res"]), (s["p_iters"], s["p_res"])]
+
     def write_lin_solvers_info(self) -> None:
         """iterations-<start>.txt lines (navierstokes.cpp:766-794)."""
-        s = self._last_stats
-        if s is None:
+        if self._last_stats is None:
             return
-        self._iter_log.write(
-            f"{self.ite}\t{int(s['v_iters'])}\t{float(s['v_res']):e}\t"
-            f"{int(s['p_iters'])}\t{float(s['p_res']):e}\n")
+        cols = [str(self.ite)]
+        for iters, res in self._iter_log_stats():
+            cols.append(f"{int(iters)}\t{float(res):e}")
+        self._iter_log.write("\t".join(cols) + "\n")
         self._iter_log.flush()
 
+    def _create_probes(self, config: dict) -> None:
+        """Probe creation with output-dir path prepending
+        (navierstokes.cpp:167-177)."""
+        from ..io.probes import create_probe
+
+        self.probes = []
+        for node in config.get("probes", []) or []:
+            node = dict(node)
+            if not os.path.isabs(node.get("path", "")):
+                node["path"] = os.path.join(self.output_dir, node["path"])
+            self.probes.append(create_probe(node, self.mesh, self.bc))
+
     def monitor_probes(self) -> None:
-        pass  # probes attach here (added with the probes subsystem)
+        """monitorProbes (navierstokes.cpp:840-856)."""
+        if not self.probes:
+            return
+        with self.timers.stage("monitor"):
+            fields = dict(self._solution_fields())
+            fields["_bcstate"] = self.state["bc"]
+            for probe in self.probes:
+                probe.monitor(fields, self.ite, self.t)
 
     # ------------------------------------------------------------------
     def run(self) -> None:
@@ -343,3 +381,6 @@ class NavierStokesSolver:
     def close(self) -> None:
         if self._iter_log and not self._iter_log.closed:
             self._iter_log.close()
+        for probe in getattr(self, "probes", []):
+            if hasattr(probe, "close"):
+                probe.close()

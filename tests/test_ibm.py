@@ -1,0 +1,241 @@
+"""IBM layer tests: delta kernels (reference: tests/misc/delta_test.cpp),
+interpolation/spreading consistency, coupled-operator symmetry, and short
+end-to-end runs of all three IBM solvers."""
+
+import math
+import os
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from petibm_tpu.ibm.delta import peskin_2002, roma_1999
+from petibm_tpu.ibm.body import BodyPack, read_lagrangian_points
+from petibm_tpu.ibm.interp import DeltaOp
+from petibm_tpu.mesh import StaggeredMesh
+from petibm_tpu.solvers.decoupledibpm import DecoupledIBPMSolver
+from petibm_tpu.solvers.ibpm import IBPMSolver
+from petibm_tpu.solvers.rigidkinematics import RigidKinematicsSolver
+from petibm_tpu.types import Field
+
+from test_mesh import cavity_config
+
+F64 = jnp.float64
+
+
+def test_roma_kernel_properties():
+    """Support, peak, unit-sum (reference: tests/misc/delta_test.cpp:21-43)."""
+    h = 0.1
+    assert float(roma_1999(jnp.asarray(0.16), h)) == 0.0
+    assert float(roma_1999(jnp.asarray(0.0), h)) == pytest.approx(2 / (3 * h))
+    # partition of unity on shifted lattices
+    for shift in (0.0, 0.3, 0.71):
+        pts = (np.arange(-4, 5) + shift) * h
+        s = float(jnp.sum(roma_1999(jnp.asarray(pts), h)) * h)
+        assert s == pytest.approx(1.0, abs=1e-12)
+    # monotonic decay
+    xs = jnp.asarray(np.linspace(0, 0.15, 10))
+    vals = np.asarray(roma_1999(xs, h))
+    assert np.all(np.diff(vals) <= 1e-12)
+
+
+def test_peskin_kernel_properties():
+    h = 0.05
+    assert float(peskin_2002(jnp.asarray(0.11), h)) == 0.0
+    for shift in (0.0, 0.4):
+        pts = (np.arange(-5, 6) + shift) * h
+        s = float(jnp.sum(peskin_2002(jnp.asarray(pts), h)) * h)
+        assert s == pytest.approx(1.0, abs=1e-12)
+
+
+def make_body_file(tmp_path, n=20, r=0.2, center=(0.5, 0.5)):
+    theta = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    path = tmp_path / "circle.body"
+    with open(path, "w") as fh:
+        fh.write(f"{n}\n")
+        for t in theta:
+            fh.write(f"{center[0] + r * np.cos(t):.10e}\t"
+                     f"{center[1] + r * np.sin(t):.10e}\n")
+    return str(path)
+
+
+def ib_config(tmp_path, n=30, nt=5, solver_extra=None):
+    cfg = cavity_config(n, n)
+    cfg["flow"]["initialVelocity"] = [1.0, 0.0]
+    cfg["flow"]["boundaryConditions"] = [
+        {"location": "xMinus", "u": ["DIRICHLET", 1.0], "v": ["DIRICHLET", 0.0]},
+        {"location": "xPlus", "u": ["CONVECTIVE", 1.0], "v": ["CONVECTIVE", 1.0]},
+        {"location": "yMinus", "u": ["DIRICHLET", 1.0], "v": ["DIRICHLET", 0.0]},
+        {"location": "yPlus", "u": ["DIRICHLET", 1.0], "v": ["DIRICHLET", 0.0]},
+    ]
+    cfg["parameters"] = {
+        "dt": 0.01, "startStep": 0, "nt": nt, "nsave": nt, "nrestart": nt,
+        "convection": "ADAMS_BASHFORTH_2", "diffusion": "CRANK_NICOLSON",
+        "velocitySolver": {"type": "CPU"},
+        "poissonSolver": {"type": "CPU"},
+        "forcesSolver": {"type": "CPU"},
+    }
+    if solver_extra:
+        cfg["parameters"].update(solver_extra)
+    cfg["bodies"] = [{"type": "points", "file": make_body_file(tmp_path)}]
+    cfg["directory"] = str(tmp_path)
+    cfg["output"] = str(tmp_path / "output")
+    cfg["logs"] = str(tmp_path / "output" / "logs")
+    return cfg
+
+
+def test_body_reading_and_mesh_idx(tmp_path):
+    cfg = ib_config(tmp_path)
+    mesh = StaggeredMesh(cfg)
+    pack = BodyPack(cfg, mesh)
+    assert pack.n_bodies == 1 and pack.n_pts == 20
+    body = pack.bodies[0]
+    idx = body.mesh_idx(mesh)
+    # every point's owning cell must contain the point
+    verts = mesh.coord(Field.VERTEX, 0)
+    for k in range(body.n_pts):
+        i = idx[k, 0]
+        assert verts[i] <= body.coords[k, 0] <= verts[i + 1]
+
+
+def test_interpolation_recovers_linear_field(tmp_path):
+    """E applied to a linear velocity field reproduces it at the body points
+    (kernel moments: the Roma kernel is exact for linears on uniform grids)."""
+    cfg = ib_config(tmp_path)
+    mesh = StaggeredMesh(cfg)
+    pack = BodyPack(cfg, mesh)
+    op = DeltaOp(mesh, "ROMA_ET_AL_1999", F64)
+    X = jnp.asarray(pack.all_coords(), F64)
+    win = op.windows(X)
+    a, b, c = 0.7, 1.3, -0.4
+    xu = mesh.bcast(Field.U, 0, mesh.coord(Field.U, 0))
+    yu = mesh.bcast(Field.U, 1, mesh.coord(Field.U, 1))
+    xv = mesh.bcast(Field.V, 0, mesh.coord(Field.V, 0))
+    yv = mesh.bcast(Field.V, 1, mesh.coord(Field.V, 1))
+    q = {"u": jnp.asarray(np.broadcast_to(a + b * xu + c * yu,
+                                          mesh.shape(Field.U)), F64),
+         "v": jnp.asarray(np.broadcast_to(a + b * xv + c * yv,
+                                          mesh.shape(Field.V)), F64)}
+    eu = np.asarray(op.interpolate(q, win))
+    Xn = np.asarray(X)
+    expect_u = a + b * Xn[:, 0] + c * Xn[:, 1]
+    np.testing.assert_allclose(eu[:, 0], expect_u, rtol=1e-10)
+    np.testing.assert_allclose(eu[:, 1], expect_u, rtol=1e-10)
+
+
+def test_spread_conserves_total_force(tmp_path):
+    """sum over grid of vol * (H f) per component equals sum of f (the
+    delta kernel's unit integral), away from boundaries."""
+    cfg = ib_config(tmp_path)
+    mesh = StaggeredMesh(cfg)
+    pack = BodyPack(cfg, mesh)
+    op = DeltaOp(mesh, "ROMA_ET_AL_1999", F64)
+    win = op.windows(jnp.asarray(pack.all_coords(), F64))
+    rng = np.random.default_rng(0)
+    f = jnp.asarray(rng.standard_normal((pack.n_pts, 2)))
+    hf = op.spread(f, win)
+    for c, name in enumerate(("u", "v")):
+        vol = np.ones(mesh.shape(Field(c)))
+        for d in range(2):
+            vol = vol * mesh.bcast(Field(c), d, mesh.dl(Field(c), d))
+        total = float(np.sum(np.asarray(hf[name]) * vol))
+        assert total == pytest.approx(float(jnp.sum(f[:, c])), rel=1e-10)
+
+
+def test_eh_adjoint_relation(tmp_path):
+    """<E u, f> = <u, vol * H f>: E = Delta*vol and H = Delta^T."""
+    cfg = ib_config(tmp_path)
+    mesh = StaggeredMesh(cfg)
+    pack = BodyPack(cfg, mesh)
+    op = DeltaOp(mesh, "ROMA_ET_AL_1999", F64)
+    win = op.windows(jnp.asarray(pack.all_coords(), F64))
+    rng = np.random.default_rng(1)
+    q = {"u": jnp.asarray(rng.standard_normal(mesh.shape(Field.U))),
+         "v": jnp.asarray(rng.standard_normal(mesh.shape(Field.V)))}
+    f = jnp.asarray(rng.standard_normal((pack.n_pts, 2)))
+    lhs = float(jnp.sum(op.interpolate(q, win) * f))
+    hf = op.spread(f, win)
+    rhs = 0.0
+    for c, name in enumerate(("u", "v")):
+        vol = np.ones(mesh.shape(Field(c)))
+        for d in range(2):
+            vol = vol * mesh.bcast(Field(c), d, mesh.dl(Field(c), d))
+        rhs += float(jnp.sum(q[name] * jnp.asarray(vol) * hf[name]))
+    assert lhs == pytest.approx(rhs, rel=1e-12)
+
+
+def test_decoupled_ibpm_short_run(tmp_path):
+    solver = DecoupledIBPMSolver(ib_config(tmp_path, nt=5))
+    solver.run()
+    solver.close()
+    out = tmp_path / "output"
+    assert (out / "forces-0.txt").exists()
+    lines = (out / "forces-0.txt").read_text().strip().splitlines()
+    assert len(lines) == 5 and len(lines[0].split("\t")) == 3
+    # drag on a bluff body in a stream is positive
+    assert float(lines[-1].split("\t")[1]) > 0.0
+    # restart file has the forces
+    with h5py.File(out / "0000005.h5") as fh:
+        assert fh["force/0"].shape == (40,)
+    # iterations log has 3 solver columns
+    cols = (out / "iterations-0.txt").read_text().splitlines()[0].split("\t")
+    assert len(cols) == 7
+
+
+def test_ibpm_coupled_operator_symmetric(tmp_path):
+    """Dense-probe the coupled operator: symmetric, pressure-constant
+    nullspace (ibpm.cpp:242-283)."""
+    cfg = ib_config(tmp_path, n=12)
+    solver = IBPMSolver(cfg)
+    pshape = solver.mesh.shape(Field.P)
+    npts = solver.bodies.n_pts
+    nP = int(np.prod(pshape))
+    nF = npts * 2
+
+    def apply_flat(v):
+        phi = {"p": jnp.asarray(v[:nP].reshape(pshape)),
+               "f": jnp.asarray(v[nP:].reshape(npts, 2))}
+        w = solver.bn(solver._G_combined(phi))
+        out_p = solver.div(w, None, homogeneous=True)
+        out_f = solver.delta.interpolate(w, solver._win)
+        return np.concatenate([np.asarray(out_p).ravel(),
+                               np.asarray(out_f).ravel()])
+
+    n = nP + nF
+    M = np.stack([apply_flat(np.eye(n)[k]) for k in range(n)], axis=1)
+    np.testing.assert_allclose(M, M.T, atol=1e-11)
+    null = np.concatenate([np.ones(nP), np.zeros(nF)])
+    np.testing.assert_allclose(M @ null, 0.0, atol=1e-11)
+    w = np.linalg.eigvalsh(M)
+    assert w[-1] < 1e-10  # negative semidefinite
+    solver.close()
+
+
+def test_ibpm_short_run(tmp_path):
+    solver = IBPMSolver(ib_config(tmp_path, nt=5))
+    solver.run()
+    solver.close()
+    out = tmp_path / "output"
+    lines = (out / "forces-0.txt").read_text().strip().splitlines()
+    assert len(lines) == 5
+    assert float(lines[-1].split("\t")[1]) > 0.0  # positive drag
+
+
+def test_rigidkinematics_oscillation_smoke(tmp_path):
+    cfg = ib_config(tmp_path, nt=3)
+    cfg["bodies"][0]["kinematics"] = {
+        "type": "oscillation", "f": 0.2, "D": 0.4, "KC": 2.0}
+    solver = RigidKinematicsSolver(cfg)
+    solver.run()
+    solver.close()
+    out = tmp_path / "output"
+    # body files written at step 0 and final save
+    assert (out / "body00_0000000.2D").exists()
+    assert (out / "body00_0000003.2D").exists()
+    c0 = np.loadtxt(out / "body00_0000000.2D")
+    c3 = np.loadtxt(out / "body00_0000003.2D")
+    # body moved in x only
+    assert abs(c0[:, 0].mean() - c3[:, 0].mean()) > 1e-6
+    np.testing.assert_allclose(c0[:, 1], c3[:, 1], atol=1e-12)

@@ -64,7 +64,7 @@ def test_cavity_divergence_free(tmp_path):
     solver = NavierStokesSolver(cfg)
     solver.run()
     div = make_divergence(solver.mesh, solver.bc, solver.dtype)
-    d = div(solver.q, solver.bcstate)
+    d = div(solver.state["q"], solver.state["bc"])
     # atol 1e-6 on the Poisson solve -> divergence residual at that scale
     assert float(jnp.max(jnp.abs(d))) < 1e-5
     solver.close()
@@ -106,7 +106,7 @@ def test_cavity_ghia_validation(tmp_path):
                        0.6172, 0.7344, 0.8516, 0.9531])
     ghia_u = np.array([-0.04192, -0.10150, -0.15662, -0.21090, -0.20581,
                        -0.13641, 0.00332, 0.23151, 0.68717])
-    u = np.asarray(solver.q["u"])
+    u = np.asarray(solver.state["q"]["u"])
     xu = solver.mesh.coord(0, 0)
     yu = solver.mesh.coord(0, 1)
     icl = int(np.argmin(np.abs(xu - 0.5)))
