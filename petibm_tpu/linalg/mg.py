@@ -1,0 +1,263 @@
+"""Geometric multigrid for the pressure Poisson system.
+
+Replaces the reference's GAMG / AmgX algebraic multigrid
+(reference: examples' poisson_solver.info `-pc_type gamg`;
+linsolveramgx.cpp).  The reference needs AMG because PETSc treats the
+matrix as unstructured; here the mesh is owned by the framework, so
+*geometric* MG on the cell-centered pressure grid is the idiomatic and
+faster choice (SURVEY.md §7).
+
+Operator hierarchy: the finest operator is the (negated) D*B1*G
+finite-volume Laplacian — face coefficient area/dist, zero flux at
+non-periodic domain boundaries (the a0=0 folding of normal-velocity
+increments), wraparound where periodic.  Coarser levels rediscretize the
+same FV formula on 2x-aggregated cell widths (pairwise sums; odd tails
+keep a lone cell).  Restriction is the conservative child-sum (residuals
+are integrated fluxes); prolongation is piecewise-constant injection (its
+transpose).  Smoother: damped Jacobi — a pure stencil+axpy sweep that XLA
+fuses and GSPMD shards like every other stencil here.
+
+Used as a V-cycle preconditioner inside CG (MGCG), keeping the outer
+Krylov semantics (tolerances, iteration counts) identical to the
+reference's `-ksp_type cg -pc_type gamg` configuration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _axslice(arr, axis: int, start: int, size: int):
+    idx = [slice(None)] * arr.ndim
+    idx[axis] = slice(start, start + size)
+    return arr[tuple(idx)]
+
+
+@dataclasses.dataclass
+class _Level:
+    shape: tuple  # (z, y, x) ordering
+    # per direction d: face coefficient arrays (broadcastable), length n+1
+    # faces; entry k couples cells k-1 and k; boundary entries are 0 for
+    # non-periodic walls, wrap coefficient for periodic
+    face_coeff: list
+    diag: object  # broadcast sum of face coefficients (positive)
+    periodic: list  # static per-direction wrap flags
+
+
+class PoissonMG:
+    """V-cycle preconditioner for the negated pressure Poisson operator."""
+
+    def __init__(self, dxp: list[np.ndarray], periodic: list[bool],
+                 dtype=jnp.float32, scale: float = 1.0, pre: int = 2,
+                 post: int = 2, omega: float = 1.0, coarse_sweeps: int = 10,
+                 min_size: int = 3):
+        """``dxp``: pressure cell widths per direction (x, y[, z]);
+        ``scale``: dt factor of B1 (kept for operator parity; CG is
+        invariant to preconditioner scaling)."""
+        self.dim = len(dxp)
+        self.dtype = dtype
+        self.pre, self.post = pre, post
+        self.omega = omega
+        self.coarse_sweeps = coarse_sweeps
+
+        # finest-level 1D data: cell widths and face inverse-distances
+        widths = [np.asarray(d, np.float64) for d in dxp]
+        inv_dist = []
+        for d, w in enumerate(widths):
+            c = np.zeros(len(w) + 1)
+            c[1:-1] = 1.0 / (0.5 * (w[:-1] + w[1:]))
+            if periodic[d]:
+                c[0] = c[-1] = 1.0 / (0.5 * (w[0] + w[-1]))
+            inv_dist.append(c)
+
+        # Galerkin (RAP) hierarchy with child-sum restriction and injection
+        # prolongation: for this separable FV operator RAP stays separable —
+        # coarse interface coefficient = *fine* 1/dist at the interface face
+        # times the *coarse* perpendicular area (internal fine couplings
+        # cancel in the RAP diagonal).
+        self.levels: list[_Level] = []
+        while True:
+            self.levels.append(self._make_level(widths, inv_dist, periodic, scale))
+            if min(len(w) for w in widths) <= min_size or len(self.levels) > 12:
+                break
+            new_w, new_c = [], []
+            for w, c in zip(widths, inv_dist):
+                n = len(w)
+                nc = (n + 1) // 2
+                wc = np.zeros(nc)
+                wc[: n // 2] = w[0:2 * (n // 2):2] + w[1:2 * (n // 2):2]
+                if n % 2:
+                    wc[-1] = w[-1]
+                cc = c[np.minimum(2 * np.arange(nc + 1), n)]
+                new_w.append(wc)
+                new_c.append(cc)
+            widths, inv_dist = new_w, new_c
+
+    def _make_level(self, widths, inv_dist, periodic, scale) -> _Level:
+        dim = self.dim
+        ns = [len(w) for w in widths]
+        shape = tuple(reversed(ns))
+        face_coeff = []
+        diag = None
+        for d in range(dim):
+            n = ns[d]
+            coeff = inv_dist[d]
+            # perpendicular area = product of other-direction widths
+            area = np.ones([1] * dim)
+            for dp in range(dim):
+                if dp == d:
+                    continue
+                s = [1] * dim
+                s[dim - 1 - dp] = ns[dp]
+                area = area * widths[dp].reshape(s)
+            s = [1] * dim
+            s[dim - 1 - d] = n + 1
+            cb = scale * coeff.reshape(s) * area
+            face_coeff.append(jnp.asarray(cb, self.dtype))
+            dsum = scale * (coeff[:-1] + coeff[1:]).reshape(
+                [n if i == dim - 1 - d else 1 for i in range(dim)]) * area
+            diag = dsum if diag is None else diag + dsum
+        return _Level(shape=shape,
+                      face_coeff=face_coeff,
+                      diag=jnp.asarray(np.broadcast_to(diag, shape).copy(),
+                                       self.dtype),
+                      periodic=list(periodic))
+
+    # ------------------------------------------------------------------
+    def _coupling(self, lvl: int, phi, d: int):
+        """Direction-d off-diagonal action: sum of face-coeff * neighbor
+        (positive sign), including the periodic wrap."""
+        level = self.levels[lvl]
+        axis = self.dim - 1 - d
+        n = phi.shape[axis]
+        c = level.face_coeff[d]
+        lo = _axslice(phi, axis, 0, n - 1)
+        hi = _axslice(phi, axis, 1, n - 1)
+        cin = _axslice(c, axis, 1, n - 1)
+        # interior faces couple (k-1, k): row k gets c(k)*phi(k-1),
+        # row k-1 gets c(k)*phi(k)
+        pad = [(0, 0)] * phi.ndim
+        pad[axis] = (1, 0)
+        out = jnp.pad(cin * lo, pad)
+        pad[axis] = (0, 1)
+        out = out + jnp.pad(cin * hi, pad)
+        if level.periodic[d]:
+            c0 = _axslice(c, axis, 0, 1)
+            first = _axslice(phi, axis, 0, 1)
+            last = _axslice(phi, axis, n - 1, 1)
+            pad_lo = [(0, 0)] * phi.ndim
+            pad_lo[axis] = (0, n - 1)
+            pad_hi = [(0, 0)] * phi.ndim
+            pad_hi[axis] = (n - 1, 0)
+            out = out + jnp.pad(c0 * last, pad_lo) + jnp.pad(c0 * first, pad_hi)
+        return out
+
+    def apply_op(self, lvl: int, phi):
+        """The negated FV Laplacian at one level: positive semidefinite."""
+        out = self.levels[lvl].diag * phi
+        for d in range(self.dim):
+            out = out - self._coupling(lvl, phi, d)
+        return out
+
+    def smooth(self, lvl: int, phi, rhs, sweeps: int):
+        """Alternating-direction damped line-Jacobi: one sweep solves the
+        tridiagonal line systems of each direction in turn (batched
+        ``lax.linalg.tridiagonal_solve``), which keeps MG robust on
+        stretched/anisotropic grids where point smoothers fail (the
+        SURVEY.md §7 'hard parts' anisotropy risk; the reference leans on
+        GAMG/AmgX aggregation for the same reason)."""
+        for _ in range(sweeps):
+            for d in range(self.dim):
+                phi = self._line_sweep(lvl, phi, rhs, d)
+        return phi
+
+    def _line_sweep(self, lvl: int, phi, rhs, d: int):
+        from jax.lax.linalg import tridiagonal_solve
+
+        level = self.levels[lvl]
+        axis = self.dim - 1 - d
+        n = phi.shape[axis]
+        # off-line couplings (other directions + this direction's wrap) to RHS
+        b = rhs
+        for dp in range(self.dim):
+            if dp != d:
+                b = b + self._coupling(lvl, phi, dp)
+        c = level.face_coeff[d]
+        if level.periodic[d]:
+            c0 = _axslice(c, axis, 0, 1)
+            first = _axslice(phi, axis, 0, 1)
+            last = _axslice(phi, axis, n - 1, 1)
+            pad_lo = [(0, 0)] * phi.ndim
+            pad_lo[axis] = (0, n - 1)
+            pad_hi = [(0, 0)] * phi.ndim
+            pad_hi[axis] = (n - 1, 0)
+            b = b + jnp.pad(c0 * last, pad_lo) + jnp.pad(c0 * first, pad_hi)
+
+        # tridiagonal system along axis: diag = full diagonal, off = -c_in
+        cin = _axslice(c, axis, 1, n - 1)
+        pad = [(0, 0)] * phi.ndim
+        pad[axis] = (1, 0)
+        dl = -jnp.pad(cin, pad)  # dl[k] couples to k-1
+        pad[axis] = (0, 1)
+        du = -jnp.pad(cin, pad)  # du[k] couples to k+1
+        diag = jnp.broadcast_to(level.diag, phi.shape)
+        dl = jnp.broadcast_to(dl, phi.shape)
+        du = jnp.broadcast_to(du, phi.shape)
+
+        # move the line axis last, batch-solve, move back
+        def tolast(a):
+            return jnp.moveaxis(a, axis, -1)
+
+        x = tridiagonal_solve(tolast(dl), tolast(diag), tolast(du),
+                              tolast(b)[..., None])[..., 0]
+        phi_star = jnp.moveaxis(x, -1, axis)
+        return phi + self.omega * (phi_star - phi)
+
+    def restrict(self, lvl: int, r):
+        """Conservative child-sum onto level lvl+1."""
+        coarse_shape = self.levels[lvl + 1].shape
+        out = r
+        for d in range(self.dim):
+            axis = self.dim - 1 - d
+            n = out.shape[axis]
+            nc = coarse_shape[axis]
+            pad = [(0, 0)] * out.ndim
+            pad[axis] = (0, 2 * nc - n)
+            padded = jnp.pad(out, pad)
+            new_shape = list(padded.shape)
+            new_shape[axis] = nc
+            new_shape.insert(axis + 1, 2)
+            out = padded.reshape(new_shape).sum(axis=axis + 1)
+        return out
+
+    def prolong(self, lvl: int, e):
+        """Piecewise-constant injection onto level lvl-1."""
+        fine_shape = self.levels[lvl - 1].shape
+        out = e
+        for d in range(self.dim):
+            axis = self.dim - 1 - d
+            n = fine_shape[axis]
+            out = jnp.repeat(out, 2, axis=axis)
+            out = _axslice(out, axis, 0, n)
+        return out
+
+    def vcycle(self, lvl: int, rhs):
+        """One V-cycle solving (apply_op) e = rhs from a zero initial guess."""
+        phi = jnp.zeros(self.levels[lvl].shape, self.dtype)
+        if lvl == len(self.levels) - 1:
+            return self.smooth(lvl, phi, rhs, self.coarse_sweeps)
+        phi = self.smooth(lvl, phi, rhs, self.pre)
+        r = rhs - self.apply_op(lvl, phi)
+        ec = self.vcycle(lvl + 1, self.restrict(lvl, r))
+        phi = phi + self.prolong(lvl + 1, ec)
+        return self.smooth(lvl, phi, rhs, self.post)
+
+    def preconditioner(self):
+        """M(r) ~ A^-1 r via one V-cycle (for CG on the negated operator)."""
+        def M(r):
+            return self.vcycle(0, r)
+
+        return M

@@ -43,6 +43,7 @@ class DecoupledIBPMSolver(NavierStokesSolver):
         self.delta = DeltaOp(self.mesh, kernel, self.dtype)
         self.state["f"] = jnp.zeros((self.bodies.n_pts, self.mesh.dim),
                                     self.dtype)
+        self.state["df"] = jnp.zeros_like(self.state["f"])
         # stationary bodies: windows are concrete arrays computed once
         # (moving bodies recompute inside the step, see rigidkinematics)
         self._static_windows = self.delta.windows(
@@ -61,9 +62,9 @@ class DecoupledIBPMSolver(NavierStokesSolver):
         self._ebnh = ebnh
         self._fopts = fopts
 
-        def solve_forces(rhsf, win):
+        def solve_forces(rhsf, win, x0=None):
             solver = make_solver(lambda df: ebnh(df, win), fopts)
-            return solver(rhsf, jnp.zeros_like(rhsf))
+            return solver(rhsf, jnp.zeros_like(rhsf) if x0 is None else x0)
 
         self._solve_forces = solve_forces
 
@@ -98,32 +99,33 @@ class DecoupledIBPMSolver(NavierStokesSolver):
             ub = self._body_velocity(state)
             if ub is not None:
                 rhsf = rhsf + ub
-            fsol = self._solve_forces(rhsf, win)
+            x0 = state["df"] if self.warm_start_poisson else None
+            fsol = self._solve_forces(rhsf, win, x0)
             df = fsol.x
 
             # no-slip correction u** = u* + BN H df (decoupledibpm.cpp:288-299)
             ustar = tmap(lambda u, x: u + x, ustar,
                          self.bn(self.delta.spread(df, win)))
 
-            qnew, pnew, psol = self._poisson_project(ustar, state)
+            qnew, pnew, dP, psol = self._poisson_project(ustar, state)
             bcstate = self.bc.update_ghost_values(state["bc"], qnew)
             stats = {"v_iters": vsol.iters, "v_res": vsol.residual,
                      "p_iters": psol.iters, "p_res": psol.residual,
                      "f_iters": fsol.iters, "f_res": fsol.residual}
-            return dict(state, q=qnew, p=pnew, bc=bcstate,
+            return dict(state, q=qnew, p=pnew, bc=bcstate, dP=dP, df=df,
                         f=state["f"] + df), stats
 
         return step
 
     # ------------------------------------------------------------------
-    def _iter_log_stats(self):
-        s = self._last_stats
-        return super()._iter_log_stats() + [(s["f_iters"], s["f_res"])]
+    def _iter_log_stats(self, s: dict):
+        return super()._iter_log_stats(s) + [(s["f_iters"], s["f_res"])]
 
     def _restart_extra(self) -> dict:
-        return {"force": self.state["f"]}
+        return dict(super()._restart_extra(), force=self.state["f"])
 
     def _read_restart_extra(self, extra: dict) -> None:
+        super()._read_restart_extra(extra)
         if "force" in extra:
             self.state["f"] = jnp.asarray(
                 extra["force"].reshape(self.bodies.n_pts, self.mesh.dim),
@@ -136,19 +138,32 @@ class DecoupledIBPMSolver(NavierStokesSolver):
 
     def write_forces_ascii(self) -> None:
         """forces-<start>.txt: t then per-body integrated force components
-        (reference: decoupledibpm.cpp:420-453)."""
+        (reference: decoupledibpm.cpp:420-453).  Buffered like the
+        iterations log so per-step output never syncs the device."""
         if self._forces_log is None:
             self._forces_log = open(os.path.join(
                 self.output_dir, f"forces-{self.nstart}.txt"), "w")
+            self._forces_buffer = []
+        self._forces_buffer.append((self.t, self.state["f"]))
+        if self.ite % self.nsave == 0 or self.finished():
+            self._flush_forces()
+
+    def _flush_forces(self) -> None:
+        if not getattr(self, "_forces_buffer", None):
+            return
         with self.timers.stage("integrateForces"):
-            favg = self.bodies.avg_forces(np.asarray(self.state["f"]))
-        cols = [f"{self.t:10.8e}"]
-        for body_force in favg:
-            cols.extend(f"{v:10.8e}" for v in body_force)
-        self._forces_log.write("\t".join(cols) + "\n")
+            items = jax.device_get(self._forces_buffer)
+        self._forces_buffer = []
+        for t, f in items:
+            favg = self.bodies.avg_forces(np.asarray(f))
+            cols = [f"{t:10.8e}"]
+            for body_force in favg:
+                cols.extend(f"{v:10.8e}" for v in body_force)
+            self._forces_log.write("\t".join(cols) + "\n")
         self._forces_log.flush()
 
     def close(self) -> None:
+        self._flush_forces()
         super().close()
         if self._forces_log and not self._forces_log.closed:
             self._forces_log.close()

@@ -46,6 +46,8 @@ class IBPMSolver(NavierStokesSolver):
         self._win = self.delta.windows(
             jnp.asarray(self.bodies.all_coords(), self.dtype))
         self._create_coupled_poisson(config)
+        self.state["dPhi"] = {"p": jnp.zeros_like(self.state["p"]),
+                              "f": jnp.zeros_like(self.state["f"])}
         self._forces_log = None
 
     # ------------------------------------------------------------------
@@ -82,12 +84,17 @@ class IBPMSolver(NavierStokesSolver):
 
         self._G_combined = G_combined
 
-        # Jacobi: lattice-probe the pressure block; analytic order-1 diag
-        # for the force block (diag(E B1 H) = dt * prod_d sum_k wd*wv)
-        diag_p = extract_diagonal(
-            lambda p: -self.div(bn(grad(p)), None, homogeneous=True),
-            jnp.zeros(self.mesh.shape(Field.P), self.dtype),
-            radius=self.bn_order)
+        # pressure block: MG V-cycle or probed-diagonal Jacobi; force block:
+        # analytic order-1 diag (diag(E B1 H) = dt * prod_d sum_k wd*wv)
+        pc = popts.get("pc", "mg")
+        if pc == "mg":
+            p_pre = self._make_poisson_pc(popts)
+        else:
+            diag_p = extract_diagonal(
+                lambda p: -self.div(bn(grad(p)), None, homogeneous=True),
+                jnp.zeros(self.mesh.shape(Field.P), self.dtype),
+                radius=self.bn_order)
+            p_pre = lambda r: r / diag_p
         cols = []
         for c in range(self.mesh.dim):
             w = win[c]
@@ -98,10 +105,10 @@ class IBPMSolver(NavierStokesSolver):
             cols.append(self.dt * prod)
         diag_f = jnp.maximum(jnp.stack(cols, axis=1), 1e-30)
 
-        def M_jac(r):
-            return {"p": r["p"] / diag_p, "f": r["f"] / diag_f}
+        def M_block(r):
+            return {"p": p_pre(r["p"]), "f": r["f"] / diag_f}
 
-        M_pre = M_jac if popts.get("pc") != "none" else None
+        M_pre = M_block if popts.get("pc") != "none" else None
         self._coupled_solver = make_solver(negM, popts, M=M_pre)
 
     # ------------------------------------------------------------------
@@ -123,8 +130,11 @@ class IBPMSolver(NavierStokesSolver):
                 rhs_p = rhs_p - jnp.mean(rhs_p)
             rhs = {"p": -rhs_p, "f": -rhs_f}
 
-            phi0 = {"p": jnp.zeros_like(state["p"]),
-                    "f": jnp.zeros_like(state["f"])}
+            if self.warm_start_poisson:
+                phi0 = state["dPhi"]
+            else:
+                phi0 = {"p": jnp.zeros_like(state["p"]),
+                        "f": jnp.zeros_like(state["f"])}
             psol = self._coupled_solver(rhs, phi0)
             dphi = psol.x
             if not self.is_ref_p:
@@ -137,38 +147,62 @@ class IBPMSolver(NavierStokesSolver):
             stats = {"v_iters": vsol.iters, "v_res": vsol.residual,
                      "p_iters": psol.iters, "p_res": psol.residual}
             return dict(state, q=qnew, p=state["p"] + dphi["p"],
-                        f=state["f"] + dphi["f"], bc=bcstate), stats
+                        f=state["f"] + dphi["f"], bc=bcstate,
+                        dPhi=dphi), stats
 
         return step
 
     # ------------------------------------------------------------------
     def _restart_extra(self) -> dict:
-        return {"force": self.state["f"]}
+        return {"force": self.state["f"], "dP": self.state["dPhi"]["p"],
+                "dF": self.state["dPhi"]["f"]}
 
     def _read_restart_extra(self, extra: dict) -> None:
         if "force" in extra:
             self.state["f"] = jnp.asarray(
                 extra["force"].reshape(self.bodies.n_pts, self.mesh.dim),
                 self.dtype)
+        if "dP" in extra and "dF" in extra:
+            from ..types import Field
+
+            self.state["dPhi"] = {
+                "p": jnp.asarray(extra["dP"].reshape(self.mesh.shape(Field.P)),
+                                 self.dtype),
+                "f": jnp.asarray(
+                    extra["dF"].reshape(self.bodies.n_pts, self.mesh.dim),
+                    self.dtype)}
 
     def write(self) -> None:
         super().write()
         self.write_forces_ascii()
 
     def write_forces_ascii(self) -> None:
-        """forces-<start>.txt (writeForcesASCII, ibpm.cpp:388-423)."""
+        """forces-<start>.txt (writeForcesASCII, ibpm.cpp:388-423);
+        buffered to avoid per-step device syncs."""
         if self._forces_log is None:
             self._forces_log = open(os.path.join(
                 self.output_dir, f"forces-{self.nstart}.txt"), "w")
+            self._forces_buffer = []
+        self._forces_buffer.append((self.t, self.state["f"]))
+        if self.ite % self.nsave == 0 or self.finished():
+            self._flush_forces()
+
+    def _flush_forces(self) -> None:
+        if not getattr(self, "_forces_buffer", None):
+            return
         with self.timers.stage("integrateForces"):
-            favg = self.bodies.avg_forces(np.asarray(self.state["f"]))
-        cols = [f"{self.t:10.8e}"]
-        for body_force in favg:
-            cols.extend(f"{v:10.8e}" for v in body_force)
-        self._forces_log.write("\t".join(cols) + "\n")
+            items = jax.device_get(self._forces_buffer)
+        self._forces_buffer = []
+        for t, f in items:
+            favg = self.bodies.avg_forces(np.asarray(f))
+            cols = [f"{t:10.8e}"]
+            for body_force in favg:
+                cols.extend(f"{v:10.8e}" for v in body_force)
+            self._forces_log.write("\t".join(cols) + "\n")
         self._forces_log.flush()
 
     def close(self) -> None:
+        self._flush_forces()
         super().close()
         if self._forces_log and not self._forces_log.closed:
             self._forces_log.close()
