@@ -72,8 +72,13 @@ _KSP_DEFAULTS = {
     "atol": 1e-6,
     "rtol": 1e-5,
     "max_it": 10000,
-    "pc": "jacobi",
+    "pc": None,  # resolved per solver role in solver_config
 }
+
+# default preconditioner per solver role when neither the options file nor
+# the YAML sets one: the Poisson solve wants multigrid (the reference's
+# examples all use gamg/AmgX there), the others diagonal Jacobi
+_DEFAULT_PC = {"poisson": "mg", "velocity": "jacobi", "forces": "jacobi"}
 
 
 def parse_solver_options(path: str | None, directory: str | None = None) -> dict:
@@ -139,4 +144,6 @@ def solver_config(config: dict, name: str) -> dict:
                      ("max_it", "max_it"), ("pc", "pc")):
         if key in node:
             opts[opt] = node[key]
+    if opts.get("pc") is None:
+        opts["pc"] = _DEFAULT_PC.get(name, "jacobi")
     return opts

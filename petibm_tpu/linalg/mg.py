@@ -255,9 +255,20 @@ class PoissonMG:
         phi = phi + self.prolong(lvl + 1, ec)
         return self.smooth(lvl, phi, rhs, self.post)
 
-    def preconditioner(self):
-        """M(r) ~ A^-1 r via one V-cycle (for CG on the negated operator)."""
+    def preconditioner(self, remove_mean: bool = True):
+        """M(r) ~ A^-1 r via one V-cycle (for CG on the negated operator).
+
+        ``remove_mean`` keeps the Krylov space orthogonal to the all-Neumann
+        operator's constant nullspace: smoothers and the coarse solve inject
+        an arbitrary constant which otherwise accumulates through the CG
+        recurrences and (in f32) can stall convergence.  Disable for the
+        pinned-pressure (nonsingular) variant.
+        """
+        if not remove_mean:
+            return lambda r: self.vcycle(0, r)
+
         def M(r):
-            return self.vcycle(0, r)
+            out = self.vcycle(0, r - jnp.mean(r))
+            return out - jnp.mean(out)
 
         return M

@@ -191,6 +191,20 @@ class NavierStokesSolver:
 
         self._negA_p = negA_p
         M_p = self._make_poisson_pc(popts)
+        # fused Pallas DIA kernel for the CG operator: for BN order 1 the
+        # Poisson operator -D B1 G equals the finest MG level's FV matrix
+        # (verified by tests/test_mg.py), so the whole 5-point apply runs as
+        # one TPU kernel instead of ~15 slice ops per CG iteration
+        if (not self.is_ref_p and self.bn_order == 1
+                and getattr(self, "poisson_mg", None) is not None
+                and not bool(config.get("parameters", {}).get(
+                    "disablePallas", False))):
+            from ..operators.pallas_stencil import make_pallas_poisson
+
+            fused = make_pallas_poisson(self.poisson_mg)
+            if fused is not None:
+                negA_p = fused
+                self._negA_p = fused
 
         self.v_solver = make_solver(self.A_momentum, vopts, M=M_mom)
         self.p_solver = make_solver(negA_p, popts, M=M_p)
@@ -220,7 +234,8 @@ class NavierStokesSolver:
                 post=int(mg_params.get("post", 2)),
                 omega=float(mg_params.get("omega", 1.0)),
                 coarse_sweeps=int(mg_params.get("coarseSweeps", 10)))
-            return self.poisson_mg.preconditioner()
+            return self.poisson_mg.preconditioner(
+                remove_mean=not self.is_ref_p)
         diag_p = extract_diagonal(
             self._negA_p, jnp.zeros(self.mesh.shape(Field.P), self.dtype),
             radius=self.bn_order)
