@@ -84,6 +84,8 @@ def make_pallas_poisson(mg, interpret: bool | None = None):
     level = mg.levels[0]
     if len(level.shape) != 2 or any(level.periodic):
         return None
+    if _on_tpu() and jnp.dtype(mg.dtype).itemsize > 4:
+        return None  # TPU has no f64; the X64→X32 rewrite can't cross a custom call
     ny, nx = level.shape
     itemsize = jnp.dtype(mg.dtype).itemsize
     if 7 * ny * nx * itemsize > 12 * 1024 * 1024:  # phi+5 coeffs+out in VMEM

@@ -18,4 +18,7 @@ os.environ.setdefault("JAX_ENABLE_X64", "1")
 
 import jax  # noqa: E402
 
+# the axon TPU plugin overrides the JAX_PLATFORMS env var; the config knob
+# is honored, so set it explicitly as well
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
