@@ -239,3 +239,59 @@ def test_rigidkinematics_oscillation_smoke(tmp_path):
     # body moved in x only
     assert abs(c0[:, 0].mean() - c3[:, 0].mean()) > 1e-6
     np.testing.assert_allclose(c0[:, 1], c3[:, 1], atol=1e-12)
+
+
+def make_sphere_file(tmp_path, r=0.15, center=(0.5, 0.5, 0.5)):
+    """Fibonacci-lattice sphere point set, 3-column body file
+    (reference 3D body format: io::readLagrangianPoints, src/io/io.cpp:23)."""
+    n = 40
+    k = np.arange(n) + 0.5
+    phi = np.arccos(1 - 2 * k / n)
+    theta = np.pi * (1 + np.sqrt(5.0)) * k
+    pts = np.stack([center[0] + r * np.sin(phi) * np.cos(theta),
+                    center[1] + r * np.sin(phi) * np.sin(theta),
+                    center[2] + r * np.cos(phi)], axis=1)
+    path = tmp_path / "sphere.body"
+    with open(path, "w") as fh:
+        fh.write(f"{n}\n")
+        for p in pts:
+            fh.write(f"{p[0]:.10e}\t{p[1]:.10e}\t{p[2]:.10e}\n")
+    return str(path)
+
+
+def ib3d_config(tmp_path, n=16, nt=3):
+    """Sphere in a uniform stream (the 3D analogue of ib_config; the
+    reference's 3D IBM case: examples3d.md flat plate, here a sphere)."""
+    from test_physics import cavity3d_config
+
+    cfg = cavity3d_config(tmp_path, n=n, nt=nt)
+    cfg["flow"]["initialVelocity"] = [1.0, 0.0, 0.0]
+    bcs = []
+    for loc in ("xMinus", "yMinus", "yPlus", "zMinus", "zPlus"):
+        bcs.append({"location": loc, "u": ["DIRICHLET", 1.0],
+                    "v": ["DIRICHLET", 0.0], "w": ["DIRICHLET", 0.0]})
+    bcs.append({"location": "xPlus", "u": ["CONVECTIVE", 1.0],
+                "v": ["CONVECTIVE", 1.0], "w": ["CONVECTIVE", 1.0]})
+    cfg["flow"]["boundaryConditions"] = bcs
+    cfg["parameters"]["forcesSolver"] = {"type": "CPU"}
+    cfg["bodies"] = [{"type": "points", "file": make_sphere_file(tmp_path)}]
+    return cfg
+
+
+def test_decoupled_ibpm_3d_sphere(tmp_path):
+    """3D decoupled IBPM end-to-end: runs, positive drag, no-slip enforced
+    at the body, 4-column forces log (t, fx, fy, fz)."""
+    solver = DecoupledIBPMSolver(ib3d_config(tmp_path))
+    solver.run()
+    out = tmp_path / "output"
+    lines = (out / "forces-0.txt").read_text().strip().splitlines()
+    assert len(lines) == 3 and len(lines[0].split("\t")) == 4
+    assert float(lines[-1].split("\t")[1]) > 0.0  # positive drag
+    # velocity interpolated to the body points is small (no-slip is enforced
+    # pre-projection; the Poisson projection perturbs it O(grid) on this
+    # deliberately coarse 16^3 mesh — same behavior as the reference scheme)
+    ub = solver.delta.interpolate(solver.state["q"], solver._static_windows)
+    assert float(jnp.max(jnp.abs(ub))) < 0.5  # well below the 1.0 stream
+    with h5py.File(out / "0000003.h5") as fh:
+        assert fh["force/0"].shape == (40 * 3,)
+    solver.close()
