@@ -295,3 +295,29 @@ def test_decoupled_ibpm_3d_sphere(tmp_path):
     with h5py.File(out / "0000003.h5") as fh:
         assert fh["force/0"].shape == (40 * 3,)
     solver.close()
+
+
+def test_decoupled_ibpm_multibody(tmp_path):
+    """Two cylinders (reference: examples/decoupledibpm/multicylinders2dRe100):
+    per-body force columns in the log, packed force vector."""
+    cfg = ib_config(tmp_path, nt=3)
+    theta = np.linspace(0, 2 * np.pi, 16, endpoint=False)
+    second = tmp_path / "circle2.body"
+    with open(second, "w") as fh:
+        fh.write("16\n")
+        for t in theta:
+            fh.write(f"{0.3 + 0.1 * np.cos(t):.10e}\t"
+                     f"{0.7 + 0.1 * np.sin(t):.10e}\n")
+    cfg["bodies"].append({"type": "points", "file": str(second)})
+    solver = DecoupledIBPMSolver(cfg)
+    assert solver.bodies.n_bodies == 2
+    assert solver.bodies.n_pts == 20 + 16
+    solver.run()
+    lines = (tmp_path / "output" / "forces-0.txt").read_text().strip().splitlines()
+    assert len(lines) == 3
+    # t + (fx, fy) per body
+    assert len(lines[0].split("\t")) == 5
+    # both bluff bodies see positive drag in the uniform stream
+    last = [float(v) for v in lines[-1].split("\t")]
+    assert last[1] > 0.0 and last[3] > 0.0
+    solver.close()
