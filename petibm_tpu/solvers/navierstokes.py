@@ -56,22 +56,27 @@ def _default_dtype():
 
 def _setup_device():
     """Context for init-time eager setup math (MG hierarchies, delta
-    windows, ICs): pin it to the host CPU backend.  Dozens of tiny one-shot
-    ops otherwise each pay an accelerator dispatch/compile round trip
-    (~90 s over a tunneled TPU vs ~2 s locally).  Arrays created here are
-    uncommitted, so the jitted step still places everything on the default
-    accelerator at its first call."""
-    if os.environ.get("PETIBM_TPU_SETUP_DEVICE", "cpu").lower() in ("", "none"):
-        import contextlib
+    windows, ICs).  Dozens of tiny one-shot ops each pay an accelerator
+    dispatch/compile round trip (~90 s over a tunneled TPU vs ~2 s
+    locally), so by default setup is pinned to the host CPU backend.
+    ``PETIBM_TPU_SETUP_DEVICE`` overrides: a platform name (``cpu``,
+    ``tpu``, ...) pins setup there; '' or ``none`` disables pinning.
+    Arrays created here are uncommitted, so the jitted step still places
+    everything on the default accelerator at its first call."""
+    import contextlib
+    import warnings
 
+    want = os.environ.get("PETIBM_TPU_SETUP_DEVICE", "cpu").lower()
+    if want in ("", "none"):
         return contextlib.nullcontext()
     try:
-        cpu = jax.devices("cpu")[0]
-    except RuntimeError:  # pragma: no cover - no CPU backend registered
-        import contextlib
-
+        dev = jax.devices(want)[0]
+    except RuntimeError as exc:  # platform not registered / unknown
+        warnings.warn(
+            f"PETIBM_TPU_SETUP_DEVICE={want!r}: no such backend ({exc}); "
+            "running setup on the default device")
         return contextlib.nullcontext()
-    return jax.default_device(cpu)
+    return jax.default_device(dev)
 
 
 class NavierStokesSolver:

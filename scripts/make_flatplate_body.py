@@ -29,7 +29,9 @@ def main() -> None:
     pts = []
     for i in range(nc):
         x0 = -args.chord / 2 + i * args.chord / (nc - 1)
-        # pitch about z through the mid-chord: +AoA tips the leading edge down
+        # pitch about z through the mid-chord: +AoA raises the leading edge
+        # (pitch-up; the upstream end x0=-c/2 maps to y=+x0*(-sin a) > 0),
+        # matching the reference's -aoa rotation convention
         x, y = x0 * ca, -x0 * sa
         for k in range(ns):
             z = -args.span / 2 + k * args.span / (ns - 1)
