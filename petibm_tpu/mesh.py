@@ -33,6 +33,12 @@ def stretch_grid(begin: float, end: float, n: int, ratio: float) -> np.ndarray:
     """
     if n <= 0:
         raise ValueError(f"sub-domain must have at least 1 cell, got {n}")
+    from . import native
+
+    if native.available():
+        out = native.stretch_grid(begin, end, n, ratio)
+        if out is not None:
+            return out
     if abs(ratio - 1.0) <= 1e-12:
         return np.full(n, (end - begin) / n, dtype=np.float64)
     h0 = (end - begin) * (ratio - 1.0) / (ratio**n - 1.0)
