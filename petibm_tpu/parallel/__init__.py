@@ -9,8 +9,12 @@ as the reference has none (PETSc's DMGlobalToLocal fills the same role).
 """
 
 from .dist import (  # noqa: F401
+    FIELD_KEYS,
+    constrain_fields,
     constrain_state,
     device_mesh,
+    mesh_from_config,
     shard_state,
+    sharded_step,
     state_shardings,
 )

@@ -67,3 +67,62 @@ def constrain_state(mesh: Mesh, state):
     return jax.tree_util.tree_map(
         lambda leaf: jax.lax.with_sharding_constraint(
             leaf, NamedSharding(mesh, _leaf_spec(leaf))), state)
+
+
+# solver-state keys holding Eulerian grid fields (sharded); everything else
+# (Lagrangian forces f/df, per-face BC arrays, scalars) stays replicated —
+# the analogue of the reference's replicated body coordinates
+# (singlebody.h:49-53) next to DMDA-decomposed fields
+FIELD_KEYS = ("q", "p", "dP", "conv", "diff")
+
+
+def constrain_fields(mesh: Mesh, state: dict) -> dict:
+    """Sharding-constrain the grid-field entries of a solver state dict,
+    leaving Lagrangian/BC leaves replicated."""
+    fields = {k: state[k] for k in FIELD_KEYS if k in state}
+    return dict(state, **constrain_state(mesh, fields))
+
+
+def sharded_step(mesh: Mesh, step):
+    """Wrap a state->(state, stats) step so grid fields carry mesh-sharding
+    constraints on the way in and out: under jit, GSPMD partitions every
+    stencil (inserting ICI halo exchanges) and Krylov reduction (psum).
+    Steady-state steps are sharded-in/sharded-out with no resharding."""
+
+    def wrapped(state):
+        state = constrain_fields(mesh, state)
+        new_state, stats = step(state)
+        return constrain_fields(mesh, new_state), stats
+
+    return wrapped
+
+
+def mesh_from_config(node: dict | None) -> Mesh | None:
+    """Device mesh from the ``parameters.sharding`` config node.
+
+    Keys (all optional): ``nDevices`` (default: all), ``platform`` (restrict
+    to a backend, e.g. ``cpu`` for the virtual test mesh), ``shape``
+    ([dy, dx] process grid, default near-square).  Returns None when the
+    node is absent or selects a single device (sharding then adds pure
+    overhead)."""
+    if not node:
+        return None
+    if node.get("platform"):
+        devices = jax.devices(str(node["platform"]))
+    else:
+        devices = jax.devices()
+    n = int(node.get("nDevices", len(devices)))
+    if n > len(devices):
+        raise ValueError(
+            f"sharding.nDevices={n} but only {len(devices)} devices visible")
+    devices = devices[:n]
+    if len(devices) < 2:
+        return None
+    if node.get("shape"):
+        a, b = (int(v) for v in node["shape"])
+        if a * b != len(devices):
+            raise ValueError(
+                f"sharding.shape {a}x{b} != nDevices {len(devices)}")
+    else:
+        a, b = _factor2(len(devices))
+    return Mesh(np.asarray(devices).reshape(a, b), ("dy", "dx"))

@@ -113,6 +113,22 @@ class NavierStokesSolver:
             jax.config.update("jax_compilation_cache_dir", cache_dir)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+        # multi-chip spatial domain decomposition (the reference's DMDA
+        # decomposition, cartesianmesh.cpp:492-538): a `parameters.sharding`
+        # node shards every grid field over a ("dy","dx") device mesh;
+        # GSPMD inserts the halo exchanges and psum reductions over ICI
+        from ..parallel import mesh_from_config
+
+        self.sharding_mesh = mesh_from_config(params.get("sharding"))
+        # XLA:CPU emulates collectives with an in-process thread rendezvous
+        # that can deadlock when many multi-device executions are in flight
+        # (observed: collective-permute rendezvous timeouts after ~O(100)
+        # unsynced steps on an 8-device host mesh); real TPU/ICI collectives
+        # have no such limit, so only the CPU backend gets a per-step sync
+        self._sync_every_step = (
+            self.sharding_mesh is not None
+            and self.sharding_mesh.devices.flat[0].platform == "cpu")
+
         self.mesh = StaggeredMesh(config)
         self.output_dir = config.get("output", os.getcwd())
         self.logs_dir = config.get("logs", self.output_dir)
@@ -146,7 +162,12 @@ class NavierStokesSolver:
         self._create_solvers(config)
         self._create_probes(config)
         self._extra_init(config)
-        self._step_fn = jax.jit(self._build_step())
+        step = self._build_step()
+        if self.sharding_mesh is not None:
+            from ..parallel import sharded_step
+
+            step = sharded_step(self.sharding_mesh, step)
+        self._step_fn = jax.jit(step)
 
         self.iter_log_path = os.path.join(
             self.output_dir, f"iterations-{self.ite}.txt")
@@ -222,6 +243,7 @@ class NavierStokesSolver:
         # one TPU kernel instead of ~15 slice ops per CG iteration
         if (not self.is_ref_p and self.bn_order == 1
                 and getattr(self, "poisson_mg", None) is not None
+                and self.sharding_mesh is None  # kernel has no GSPMD rule
                 and not bool(config.get("parameters", {}).get(
                     "disablePallas", False))):
             from ..operators.pallas_stencil import make_pallas_poisson
@@ -338,6 +360,8 @@ class NavierStokesSolver:
         self.ite += 1
         with self.timers.stage("step"):
             self.state, self._last_stats = self._step_fn(self.state)
+            if self._sync_every_step:
+                jax.block_until_ready(self.state)
 
     def finished(self) -> bool:
         return self.ite >= self.nstart + self.nt
