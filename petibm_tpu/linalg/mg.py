@@ -155,8 +155,16 @@ class PoissonMG:
             out = out + jnp.pad(c0 * last, pad_lo) + jnp.pad(c0 * first, pad_hi)
         return out
 
+    def set_fused_apply(self, fn) -> None:
+        """Route the finest-level operator through a fused (Pallas) kernel
+        — used for the V-cycle's level-0 residual, the hottest apply after
+        the CG operator itself."""
+        self._fused_apply0 = fn
+
     def apply_op(self, lvl: int, phi):
         """The negated FV Laplacian at one level: positive semidefinite."""
+        if lvl == 0 and getattr(self, "_fused_apply0", None) is not None:
+            return self._fused_apply0(phi)
         out = self.levels[lvl].diag * phi
         for d in range(self.dim):
             out = out - self._coupling(lvl, phi, d)

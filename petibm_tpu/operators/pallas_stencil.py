@@ -1,24 +1,47 @@
 """Pallas TPU kernels for the hot stencil operations.
 
 The pressure Poisson operator is the framework's hottest op (applied every
-CG iteration and MG level).  As an assembled matrix it is a 5/7-point
-banded system; the TPU-native sparse format is DIA (one dense value array
-per diagonal offset) — loads are fully contiguous and the kernel runs at
-VPU/HBM speed, unlike CSR whose gathers TPU serializes (BASELINE.md
-"Poisson SpMV at speed-of-light nnz/s").
+CG iteration and at the finest multigrid level).  As an assembled matrix it
+is a 5/7-point banded system; the TPU-native sparse format is DIA (one
+dense value array per diagonal offset) — loads are fully contiguous and the
+kernel runs at VPU/HBM speed, unlike CSR whose gathers TPU serializes
+(BASELINE.md "Poisson SpMV at speed-of-light nnz/s").
 
-``poisson_apply_2d`` fuses the whole 5-point apply (4 shifted
-multiply-adds + diagonal) into one kernel: out = diag*phi - W*phi_w -
-E*phi_e - S*phi_s - N*phi_n with zero-flux (or wrap) boundaries baked into
-the coefficient arrays.  Falls back to the XLA slice formulation off-TPU.
+Kernels (all non-periodic; boundary zero-flux is baked into the
+coefficient arrays as zero entries):
+
+- ``poisson_apply_2d``: whole-array 5-point apply, everything resident in
+  VMEM — one fused kernel instead of ~15 XLA slice ops per CG iteration.
+- ``poisson_apply_2d_tiled``: row-slab grid for 2D arrays too large for
+  VMEM; phi stays in HBM and each grid step DMAs a halo'd row slab into a
+  double-buffered VMEM scratch (next slab's fetch overlaps this block's
+  compute) while the coefficient blocks stream through the normal Pallas
+  pipeline.
+- ``poisson_apply_3d`` / ``poisson_apply_3d_tiled``: the 7-point variants;
+  large 3D grids (e.g. the 160x130x130 sphere case) don't fit VMEM whole,
+  so the tiled form grids over z-slabs.
+
+``make_pallas_poisson`` picks the kernel for a PoissonMG hierarchy's
+finest level (or returns None when no kernel applies: periodic wrap, f64
+on real TPU, or no viable slab split).  Measured on TPU v5e
+(scripts/bench_spmv.py): the whole-array kernel edges out the XLA slice
+formulation; the slab-tiled kernels run at ~0.75x XLA, whose fused stencil
+loop streams each operand exactly once with hardware prefetch — so tiling
+is opt-in (``tiled=True`` / ``parameters.pallasTiled``) and
+larger-than-VMEM operators default to the XLA path.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
+
+# conservative VMEM working-set budget (bytes); real VMEM is ~16 MB/core
+# but the pipeline double-buffers blocked inputs
+_VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def _on_tpu() -> bool:
@@ -28,6 +51,8 @@ def _on_tpu() -> bool:
         return False
 
 
+# ----------------------------------------------------------------------
+# whole-array kernels (operands resident in VMEM)
 def _kernel_2d(phi_ref, diag_ref, w_ref, e_ref, s_ref, n_ref, out_ref):
     phi = phi_ref[:]
     ny, nx = phi.shape
@@ -57,45 +82,288 @@ def poisson_apply_2d(phi, diag, west, east, south, north, interpret=False):
     )(phi, diag, west, east, south, north)
 
 
+def _inplane_terms_2d(phi, diag, w, e, s, n):
+    """5-point combination where the y-neighbor planes are taken from the
+    same array (used per z-plane by the 3D kernels)."""
+    ny, nx = phi.shape[-2:]
+    zrow = jnp.zeros(phi.shape[:-2] + (1, nx), phi.dtype)
+    zcol = jnp.zeros(phi.shape[:-2] + (ny, 1), phi.dtype)
+    phi_w = jnp.concatenate([zcol, phi[..., :, :-1]], axis=-1)
+    phi_e = jnp.concatenate([phi[..., :, 1:], zcol], axis=-1)
+    phi_s = jnp.concatenate([zrow, phi[..., :-1, :]], axis=-2)
+    phi_n = jnp.concatenate([phi[..., 1:, :], zrow], axis=-2)
+    return diag * phi - w * phi_w - e * phi_e - s * phi_s - n * phi_n
+
+
+def _kernel_3d(phi_ref, diag_ref, w_ref, e_ref, s_ref, n_ref, d_ref, u_ref,
+               out_ref):
+    phi = phi_ref[:]
+    nz = phi.shape[0]
+    zpl = jnp.zeros((1,) + phi.shape[1:], phi.dtype)
+    phi_d = jnp.concatenate([zpl, phi[:-1]], axis=0)
+    phi_u = jnp.concatenate([phi[1:], zpl], axis=0)
+    out_ref[:] = (_inplane_terms_2d(phi, diag_ref[:], w_ref[:], e_ref[:],
+                                    s_ref[:], n_ref[:])
+                  - d_ref[:] * phi_d - u_ref[:] * phi_u)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def poisson_apply_3d(phi, diag, west, east, south, north, down, up,
+                     interpret=False):
+    """One fused 7-point DIA apply, whole array in VMEM (small 3D grids)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.pallas_call(
+        _kernel_3d,
+        out_shape=jax.ShapeDtypeStruct(phi.shape, phi.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(phi, diag, west, east, south, north, down, up)
+
+
+# ----------------------------------------------------------------------
+# slab-tiled kernels: phi stays in HBM, each grid step DMAs a halo'd slab
+# DMA slab halo (rows/planes on each side of a block).  Mosaic requires
+# DMA slices of tiled HBM memrefs to be 8-aligned in the sublane dim, so
+# the halo is a full 8-row tile and blocks are multiples of 8: slab size
+# bs+16 and slab offsets {0, 8, 16} are then all tile-aligned.
+_HALO = 8
+
+
+def _slab_dma(pl, pltpu, phi_hbm, slab_ref, sem, bs: int, axis_len: int,
+              blk, slot):
+    """The async copy bringing block ``blk``'s halo'd slab into slot
+    ``slot`` of the double-buffered scratch."""
+    h = _HALO
+    start = jnp.clip(blk * bs - h, 0, axis_len - (bs + 2 * h))
+    # bs, axis_len and h are all multiples of the 8-row tile, so start is
+    # too; Mosaic's divisibility prover needs the explicit hint
+    start = pl.multiple_of(start, h)
+    return pltpu.make_async_copy(phi_hbm.at[pl.ds(start, bs + 2 * h)],
+                                 slab_ref.at[slot], sem.at[slot])
+
+
+def _slab_parts(pl, pltpu, phi_hbm, slab_ref, sem, bs: int, axis_len: int):
+    """Return (lo, mid, hi) slab views for grid step i: mid = the block's
+    own rows/planes, lo/hi = its -1/+1 neighbors (zero beyond the domain
+    edge, where the DIA coefficients are zero anyway).
+
+    The slab DMA is double-buffered across grid steps: step i kicks off
+    block i+1's copy before waiting on its own, so the HBM fetch of the
+    next slab overlaps this block's compute (grid steps run sequentially
+    on the core).
+
+    The block's offset within the slab is 0 / _HALO / 2*_HALO for the
+    first / interior / last block.  Mosaic only lowers *static* vector
+    slice offsets, so all three variants are built with static slices and
+    selected by predicate — cheap VPU selects next to the HBM-bound DMA.
+    """
+    h = _HALO
+    i = pl.program_id(0)
+    nblk = pl.num_programs(0)
+    first = i == 0
+    last = i == nblk - 1
+    slot = i % 2
+    nxt = (i + 1) % 2
+
+    def dma(blk, slot):
+        return _slab_dma(pl, pltpu, phi_hbm, slab_ref, sem, bs, axis_len,
+                         blk, slot)
+
+    @pl.when(first)
+    def _():
+        dma(i, slot).start()
+
+    @pl.when(i + 1 < nblk)
+    def _():
+        dma(i + 1, nxt).start()
+
+    dma(i, slot).wait()
+    slab = slab_ref[slot]
+    zero = jnp.zeros((1,) + slab.shape[1:], slab.dtype)
+    # slab row k holds global row start+k; block rows sit at offset
+    # off = i*bs - start in {0 (first), h (interior), 2h (last)}
+    mid = jnp.where(first, slab[0:bs],
+                    jnp.where(last, slab[2 * h:2 * h + bs],
+                              slab[h:h + bs]))
+    lo = jnp.where(first, jnp.concatenate([zero, slab[0:bs - 1]], axis=0),
+                   jnp.where(last, slab[2 * h - 1:2 * h - 1 + bs],
+                             slab[h - 1:h - 1 + bs]))
+    hi = jnp.where(last,
+                   jnp.concatenate([slab[2 * h + 1:2 * h + bs], zero], axis=0),
+                   jnp.where(first, slab[1:1 + bs],
+                             slab[h + 1:h + 1 + bs]))
+    return lo, mid, hi
+
+
+def _make_kernel_2d_tiled(bs: int, ny: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(phi_hbm, diag_ref, w_ref, e_ref, s_ref, n_ref, out_ref,
+               slab_ref, sem):
+        south, phi, north = _slab_parts(pl, pltpu, phi_hbm, slab_ref, sem,
+                                        bs, ny)
+        nx = phi.shape[-1]
+        zcol = jnp.zeros((bs, 1), phi.dtype)
+        phi_w = jnp.concatenate([zcol, phi[:, :-1]], axis=1)
+        phi_e = jnp.concatenate([phi[:, 1:], zcol], axis=1)
+        out_ref[:] = (diag_ref[:] * phi - w_ref[:] * phi_w
+                      - e_ref[:] * phi_e - s_ref[:] * south
+                      - n_ref[:] * north)
+
+    return kernel
+
+
+def _make_kernel_3d_tiled(bs: int, nz: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(phi_hbm, diag_ref, w_ref, e_ref, s_ref, n_ref, d_ref, u_ref,
+               out_ref, slab_ref, sem):
+        down, phi, upv = _slab_parts(pl, pltpu, phi_hbm, slab_ref, sem,
+                                     bs, nz)
+        out_ref[:] = (_inplane_terms_2d(phi, diag_ref[:], w_ref[:], e_ref[:],
+                                        s_ref[:], n_ref[:])
+                      - d_ref[:] * down - u_ref[:] * upv)
+
+    return kernel
+
+
+def _tiled_call(kernel, phi, coeffs, bs: int, interpret: bool):
+    """Common pallas_call wiring for the slab-tiled kernels: phi unblocked
+    in compiler-chosen (HBM) space, coefficients and output in leading-axis
+    blocks, double-buffered slab scratch + DMA semaphore pair."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n0 = phi.shape[0]
+    rest = phi.shape[1:]
+    nblk = n0 // bs
+    blockspec = pl.BlockSpec((bs,) + rest, lambda i: (i,) + (0,) * len(rest),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        out_shape=jax.ShapeDtypeStruct(phi.shape, phi.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [blockspec] * len(coeffs),
+        out_specs=blockspec,
+        scratch_shapes=[pltpu.VMEM((2, bs + 2 * _HALO) + rest, phi.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+    )(phi, *coeffs)
+
+
+@functools.partial(jax.jit, static_argnames=("bs", "interpret"))
+def poisson_apply_2d_tiled(phi, diag, west, east, south, north, bs,
+                           interpret=False):
+    return _tiled_call(_make_kernel_2d_tiled(bs, phi.shape[0]), phi,
+                       (diag, west, east, south, north), bs, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("bs", "interpret"))
+def poisson_apply_3d_tiled(phi, diag, west, east, south, north, down, up, bs,
+                           interpret=False):
+    return _tiled_call(_make_kernel_3d_tiled(bs, phi.shape[0]), phi,
+                       (diag, west, east, south, north, down, up), bs,
+                       interpret)
+
+
+# ----------------------------------------------------------------------
+# DIA coefficient extraction from a PoissonMG level
+def _broadcast_pair(level, d: int, shape):
+    """(lo, hi) dense coefficient arrays for direction d: the face arrays
+    sliced to cells, domain-edge entries zeroed for non-periodic walls."""
+    dim = len(shape)
+    axis = dim - 1 - d
+    c = level.face_coeff[d]
+    sl_lo = [slice(None)] * c.ndim
+    sl_lo[axis] = slice(0, -1)
+    sl_hi = [slice(None)] * c.ndim
+    sl_hi[axis] = slice(1, None)
+    lo = jnp.broadcast_to(c[tuple(sl_lo)], shape)
+    hi = jnp.broadcast_to(c[tuple(sl_hi)], shape)
+    if not level.periodic[d]:
+        idx0 = [slice(None)] * dim
+        idx0[axis] = 0
+        idx1 = [slice(None)] * dim
+        idx1[axis] = shape[axis] - 1
+        lo = lo.at[tuple(idx0)].set(0.0)
+        hi = hi.at[tuple(idx1)].set(0.0)
+    return lo, hi
+
+
+def dia_coefficients(level):
+    """Dense per-point DIA coefficient arrays from a PoissonMG level:
+    (diag, w, e, s, n[, down, up]) in (z, y, x) layout."""
+    shape = level.shape
+    dim = len(shape)
+    out = [jnp.broadcast_to(level.diag, shape)]
+    for d in range(dim):  # x, y[, z] -> (w,e), (s,n)[, (down,up)]
+        out.extend(_broadcast_pair(level, d, shape))
+    return tuple(out)
+
+
 def dia_coefficients_2d(mg_level):
-    """Dense per-point W/E/S/N coefficient arrays from a PoissonMG level
-    (the DIA form of the level's FV matrix)."""
-    ny, nx = mg_level.shape
-    cx = mg_level.face_coeff[0]  # (ny, nx+1)
-    cy = mg_level.face_coeff[1]  # (ny+1, nx)
-    west = jnp.broadcast_to(cx[:, :-1], (ny, nx))
-    east = jnp.broadcast_to(cx[:, 1:], (ny, nx))
-    south = jnp.broadcast_to(cy[:-1, :], (ny, nx))
-    north = jnp.broadcast_to(cy[1:, :], (ny, nx))
-    if not mg_level.periodic[0]:
-        west = west.at[:, 0].set(0.0)
-        east = east.at[:, -1].set(0.0)
-    if not mg_level.periodic[1]:
-        south = south.at[0, :].set(0.0)
-        north = north.at[-1, :].set(0.0)
-    diag = jnp.broadcast_to(mg_level.diag, (ny, nx))
-    return diag, west, east, south, north
+    """Back-compat wrapper returning (diag, west, east, south, north)."""
+    return dia_coefficients(mg_level)
 
 
-def make_pallas_poisson(mg, interpret: bool | None = None):
-    """A fused finest-level Poisson apply for a 2D non-periodic PoissonMG
-    hierarchy; returns None when the kernel does not apply (3D, periodic,
-    or VMEM won't fit)."""
+def _pick_block(n0: int, per_row_bytes: int) -> int | None:
+    """Largest 8-multiple divisor bs of n0 with 2+ blocks, a full slab
+    (bs + 2*_HALO <= n0), and a working set (slab + ~2x double-buffered
+    coefficient blocks + out) within the budget; None if none works."""
+    best = None
+    for bs in range(_HALO, n0 // 2 + 1, _HALO):
+        if n0 % bs or bs + 2 * _HALO > n0:
+            continue
+        work = (bs + 2 * _HALO) * per_row_bytes * 16
+        if work <= _VMEM_BUDGET:
+            best = bs
+    return best
+
+
+def make_pallas_poisson(mg, interpret: bool | None = None,
+                        tiled: bool = False):
+    """A fused finest-level Poisson apply for a non-periodic PoissonMG
+    hierarchy (2D or 3D); returns None when no kernel applies (periodic
+    wrap, f64 on real TPU, larger than VMEM with ``tiled=False``, or no
+    viable slab split)."""
     level = mg.levels[0]
-    if len(level.shape) != 2 or any(level.periodic):
+    dim = len(level.shape)
+    if dim not in (2, 3) or any(level.periodic):
         return None
     if _on_tpu() and jnp.dtype(mg.dtype).itemsize > 4:
-        return None  # TPU has no f64; the X64→X32 rewrite can't cross a custom call
-    ny, nx = level.shape
-    itemsize = jnp.dtype(mg.dtype).itemsize
-    if 7 * ny * nx * itemsize > 12 * 1024 * 1024:  # phi+5 coeffs+out in VMEM
-        return None
+        return None  # TPU has no f64; the X64->X32 rewrite can't cross a custom call
     if interpret is None:
         interpret = not _on_tpu()
-    diag, west, east, south, north = dia_coefficients_2d(level)
+    coeffs = dia_coefficients(level)
+    itemsize = jnp.dtype(mg.dtype).itemsize
+    narrs = 2 + len(coeffs)  # phi + out + coefficients
+    total = narrs * math.prod(level.shape) * itemsize
+
+    if total <= _VMEM_BUDGET:
+        apply_full = poisson_apply_2d if dim == 2 else poisson_apply_3d
+
+        def apply_fn(phi):
+            return apply_full(phi, *coeffs, interpret=interpret)
+
+        return apply_fn
+
+    if not tiled:
+        return None  # XLA's fused stencil is faster for streaming sizes
+    n0 = level.shape[0]
+    per_row = math.prod(level.shape[1:]) * itemsize
+    bs = _pick_block(n0, per_row)
+    if bs is None:
+        return None
+    apply_tiled = (poisson_apply_2d_tiled if dim == 2
+                   else poisson_apply_3d_tiled)
 
     def apply_fn(phi):
-        return poisson_apply_2d(phi, diag, west, east, south, north,
-                                interpret=interpret)
+        return apply_tiled(phi, *coeffs, bs=bs, interpret=interpret)
 
     return apply_fn

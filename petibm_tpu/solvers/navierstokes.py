@@ -248,10 +248,15 @@ class NavierStokesSolver:
                     "disablePallas", False))):
             from ..operators.pallas_stencil import make_pallas_poisson
 
-            fused = make_pallas_poisson(self.poisson_mg)
+            fused = make_pallas_poisson(
+                self.poisson_mg,
+                tiled=bool(config.get("parameters", {}).get("pallasTiled",
+                                                            False)))
             if fused is not None:
                 negA_p = fused
                 self._negA_p = fused
+                # the V-cycle's level-0 residual is the same operator
+                self.poisson_mg.set_fused_apply(fused)
 
         self.v_solver = make_solver(self.A_momentum, vopts, M=M_mom)
         self.p_solver = make_solver(negA_p, popts, M=M_p)

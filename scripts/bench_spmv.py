@@ -1,0 +1,125 @@
+"""Poisson SpMV throughput vs the HBM speed-of-light roofline.
+
+BASELINE.md targets "Poisson SpMV at speed-of-light nnz/s per TPU chip".
+The pressure Poisson matrix is a 5-point (2D) / 7-point (3D) banded system;
+the TPU-native sparse format is DIA — per-diagonal dense value arrays with
+fully contiguous loads (petibm_tpu.operators.pallas_stencil).  A DIA apply
+is bandwidth-bound: per pressure cell it streams phi + out + (2*dim+1)
+coefficient arrays once, performing 2*dim+1 multiply-adds (nnz per row).
+
+  speed-of-light nnz/s = HBM_BW * nnz_per_row / bytes_per_row
+
+This script measures the fused Pallas kernel and the XLA slice formulation
+on the same operator (cylinder-bench 450x450 stretched grid and a uniform
+1024x1024 grid) and prints one JSON line per configuration with achieved
+nnz/s and the fraction of the measured-bandwidth roofline (estimated via a
+saxpy stream probe on the same array size, which removes the need to know
+the chip's datasheet bandwidth).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# applies chained inside one jitted program: per-dispatch latency over the
+# device tunnel (~0.3 ms) would otherwise swamp the per-apply time
+CHAIN = 100
+
+
+def _chained(fn):
+    @jax.jit
+    def run(phi):
+        return jax.lax.fori_loop(0, CHAIN, lambda i, x: fn(x), phi)
+
+    return run
+
+
+def stream_bw_bytes_per_s(dtype=jnp.float32, repeats=5, shape=(4096, 4096)):
+    """Measured HBM bandwidth via a chained x = 2x + y stream (reads x,y;
+    writes x each iteration) over a fixed 64 MB working set — large enough
+    to saturate the memory system regardless of the case size."""
+    y = jnp.ones(shape, dtype) * 1e-9
+    run = _chained(lambda x: 2.0 * x + y)
+    x = run(jnp.zeros(shape, dtype)).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        x = run(x)
+    x.block_until_ready()
+    dt = time.perf_counter() - t0
+    nbytes = np.prod(shape) * np.dtype(dtype).itemsize
+    return 3 * nbytes * CHAIN * repeats / dt
+
+
+def make_level(ns, stretched=True):
+    """A PoissonMG finest level for an ns[0] x ns[1] (y, x) grid."""
+    from petibm_tpu.linalg.mg import PoissonMG
+
+    rng = np.random.default_rng(0)
+    dxs = []
+    for n in reversed(ns):  # (x, y) order for PoissonMG
+        if stretched:
+            w = np.geomspace(1.0, 1.5, n)
+        else:
+            w = np.ones(n)
+        dxs.append(w / w.sum())
+    mg = PoissonMG(dxs, [False] * len(ns), dtype=jnp.float32)
+    phi = jnp.asarray(rng.standard_normal(ns), jnp.float32)
+    return mg, phi
+
+
+def bench_apply(fn, phi, repeats=5):
+    run = _chained(fn)
+    out = run(phi).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = run(out)
+    out.block_until_ready()
+    return (time.perf_counter() - t0) / (repeats * CHAIN)
+
+
+def main():
+    dev = jax.devices()[0]
+    results = []
+    bw = stream_bw_bytes_per_s()
+    for name, ns in (("450sq_stretched", (450, 450)),
+                     ("1024sq_uniform", (1024, 1024))):
+        mg, phi = make_level(ns, stretched="stretched" in name)
+        ncells = int(np.prod(ns))
+        nnz = 5 * ncells  # 5-point stencil rows
+        # streamed bytes: phi + out + 5 coefficient arrays, f32
+        bytes_per_apply = 7 * ncells * 4
+        sol_nnz_s = bw * nnz / bytes_per_apply
+
+        xla_apply = jax.jit(lambda p: mg.apply_op(0, p))
+        t_xla = bench_apply(xla_apply, phi)
+
+        from petibm_tpu.operators.pallas_stencil import make_pallas_poisson
+
+        fused = make_pallas_poisson(mg, tiled=True)
+        t_pl = bench_apply(jax.jit(fused), phi) if fused is not None else None
+
+        for label, t in (("xla", t_xla), ("pallas", t_pl)):
+            if t is None:
+                continue
+            results.append({
+                "metric": f"poisson_spmv_{name}_{label}",
+                "value": round(nnz / t / 1e9, 3),
+                "unit": "Gnnz/s",
+                "vs_roofline": round((nnz / t) / sol_nnz_s, 3),
+                "detail": {"device": str(dev), "ms_per_apply": round(t * 1e3, 4),
+                           "stream_GBps": round(bw / 1e9, 1)},
+            })
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

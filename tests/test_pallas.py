@@ -31,10 +31,75 @@ def test_pallas_poisson_matches_operator():
                                rtol=1e-12, atol=1e-14)
 
 
-def test_pallas_declines_periodic_and_3d():
+def test_pallas_declines_periodic():
     mesh = StaggeredMesh(periodic_config(8, 6))
     mg = PoissonMG(mesh.dxp, mesh.periodic, dtype=jnp.float64)
     assert make_pallas_poisson(mg, interpret=True) is None
+
+
+def _random_mg(shape_xy, seed=0, dim_widths=None):
+    """PoissonMG on stretched widths; returns (mg, random phi)."""
+    rng = np.random.default_rng(seed)
+    widths = dim_widths or [np.geomspace(1.0, 1.7, n) for n in shape_xy]
+    mg = PoissonMG(widths, [False] * len(widths), dtype=jnp.float64,
+                   scale=0.01)
+    shape = tuple(len(w) for w in reversed(widths))
+    phi = jnp.asarray(rng.standard_normal(shape))
+    return mg, phi
+
+
+def test_pallas_tiled_2d_matches_operator():
+    from petibm_tpu.operators.pallas_stencil import poisson_apply_2d_tiled
+    from petibm_tpu.operators.pallas_stencil import dia_coefficients
+
+    mg, phi = _random_mg([24, 32])  # ny=32: blocks must be multiples of 8
+    coeffs = dia_coefficients(mg.levels[0])
+    want = np.asarray(mg.apply_op(0, phi))
+    got = poisson_apply_2d_tiled(phi, *coeffs, bs=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12, atol=1e-13)
+    # two-block split: first and last block, no interior
+    got2 = poisson_apply_2d_tiled(phi, *coeffs, bs=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got2), want, rtol=1e-12, atol=1e-13)
+
+
+def test_pallas_3d_full_and_tiled_match_operator():
+    from petibm_tpu.operators.pallas_stencil import (
+        dia_coefficients, poisson_apply_3d, poisson_apply_3d_tiled)
+
+    mg, phi = _random_mg([10, 12, 32])  # nz=32
+    coeffs = dia_coefficients(mg.levels[0])
+    want = np.asarray(mg.apply_op(0, phi))
+    got = poisson_apply_3d(phi, *coeffs, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12, atol=1e-13)
+    got_t = poisson_apply_3d_tiled(phi, *coeffs, bs=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_t), want, rtol=1e-12,
+                               atol=1e-13)
+
+
+def test_make_pallas_poisson_dispatch(monkeypatch):
+    import petibm_tpu.operators.pallas_stencil as ps
+
+    # small 2D -> whole-array kernel; shrink the budget -> tiled kernel
+    mg, phi = _random_mg([128, 64])  # shape (64, 128)
+    want = np.asarray(mg.apply_op(0, phi))
+    fn = ps.make_pallas_poisson(mg, interpret=True)
+    assert fn is not None
+    np.testing.assert_allclose(np.asarray(fn(phi)), want, rtol=1e-12,
+                               atol=1e-13)
+    with monkeypatch.context() as mp:
+        mp.setattr(ps, "_VMEM_BUDGET", 400_000)  # force the tiled path
+        assert ps.make_pallas_poisson(mg, interpret=True) is None  # opt-in
+        fn_t = ps.make_pallas_poisson(mg, interpret=True, tiled=True)
+        assert fn_t is not None
+        np.testing.assert_allclose(np.asarray(fn_t(phi)), want, rtol=1e-12,
+                                   atol=1e-13)
+    # 3D dispatch (small enough for the whole-array kernel)
+    mg3, phi3 = _random_mg([10, 12, 32])
+    fn3 = ps.make_pallas_poisson(mg3, interpret=True)
+    assert fn3 is not None
+    np.testing.assert_allclose(np.asarray(fn3(phi3)),
+                               np.asarray(mg3.apply_op(0, phi3)),
+                               rtol=1e-12, atol=1e-13)
 
 
 def test_solver_with_pallas_matches_without(tmp_path):
