@@ -8,9 +8,12 @@ closest published number — 2D IBPM cylinder Re=550, 450x450 stretched,
 
 The full step (momentum BiCGStab, EBNH force solve, MG-preconditioned CG
 Poisson at the reference's atol 1e-6, projection) runs jitted on one TPU
-chip; measurement happens after a 300-step spin-up so Krylov iteration
-counts reflect developed flow, not the trivial uniform start.  Prints ONE
-JSON line; vs_baseline > 1 means faster than the reference's rate.
+chip, 50 steps per dispatch (parameters.stepsPerDispatch — lax.scan inside
+one XLA program, so host dispatch latency over the device tunnel amortizes
+across the chunk); measurement happens after a 300-step spin-up so Krylov
+iteration counts reflect developed flow, not the trivial uniform start.
+Prints ONE JSON line; vs_baseline > 1 means faster than the reference's
+rate.
 """
 
 import json
@@ -62,7 +65,7 @@ def build_config(tmpdir: str) -> dict:
             # dt follows the reference's 450^2 cylinder cases (Re550 uses
             # 0.0025 on this grid; explicit AB2 convection needs CFL < ~0.5)
             "dt": 0.0025, "nt": 10, "nsave": 100000, "nrestart": 100000,
-            "dtype": "float32",
+            "dtype": "float32", "stepsPerDispatch": 50,
             "convection": "ADAMS_BASHFORTH_2", "diffusion": "CRANK_NICOLSON",
             "velocitySolver": {"type": "CPU", "atol": 1e-6, "rtol": 1e-6,
                                "max_it": 1000},
@@ -83,18 +86,27 @@ def main() -> int:
     tmpdir = tempfile.mkdtemp(prefix="petibm_tpu_bench_")
     solver = DecoupledIBPMSolver(build_config(tmpdir))
 
-    warmup, iters = 300, 100
+    def sync(stats):
+        """Honest barrier: materialize a scalar that depends on the whole
+        chunk.  Over the tunneled device, block_until_ready acks before
+        execution finishes; a device_get is the only true sync."""
+        return float(jax.device_get(stats["p_res"])[-1])
+
+    k = solver.steps_per_dispatch
+    warmup_chunks, chunks = 6, 20  # 300 spin-up steps, 1000 measured
     state = solver.state
-    for _ in range(warmup):
-        state, stats = solver._step_fn(state)
-    jax.block_until_ready(state)
+    for _ in range(warmup_chunks):
+        state, stats = solver._chunk_fn(state)
+    sync(stats)
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, stats = solver._step_fn(state)
-    jax.block_until_ready(state)
+    for _ in range(chunks):
+        state, stats = solver._chunk_fn(state)
+        sync(stats)
     elapsed = time.perf_counter() - t0
-    stats = jax.device_get(stats)
+    iters = chunks * k
+    # stats are stacked (k,) per chunk; report the last step's
+    stats = {key: v[-1] for key, v in jax.device_get(stats).items()}
 
     ms_per_step = elapsed / iters * 1e3
     baseline_ms = 250.0  # reference: 1200 steps < 5 min (2 MPI + K40)
@@ -112,7 +124,8 @@ def main() -> int:
             "p_iters": int(stats["p_iters"]),
             "f_iters": int(stats["f_iters"]),
             "p_res": float(stats["p_res"]),
-            "measured_after_steps": warmup,
+            "steps_per_dispatch": k,
+            "measured_after_steps": warmup_chunks * k,
         },
     }
     print(json.dumps(result))

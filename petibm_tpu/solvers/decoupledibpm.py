@@ -19,22 +19,20 @@ SpGEMM-materialized small matrix, so moving bodies need no re-assembly.
 
 from __future__ import annotations
 
-import os
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import solver_config
 from ..ibm.body import BodyPack
 from ..ibm.interp import DeltaOp
 from ..linalg import make_solver
+from ._forceslog import ForcesLogMixin
 from .navierstokes import NavierStokesSolver
 
 tmap = jax.tree_util.tree_map
 
 
-class DecoupledIBPMSolver(NavierStokesSolver):
+class DecoupledIBPMSolver(ForcesLogMixin, NavierStokesSolver):
     def _extra_init(self, config: dict) -> None:
         self.bodies = BodyPack(config, self.mesh)
         if self.bodies.n_bodies == 0:
@@ -51,7 +49,6 @@ class DecoupledIBPMSolver(NavierStokesSolver):
 
         fopts = solver_config(config, "forces")
         self._make_force_solver(fopts)
-        self._forces_log = None
 
     def _make_force_solver(self, fopts: dict) -> None:
         delta, bn = self.delta, self.bn
@@ -109,11 +106,15 @@ class DecoupledIBPMSolver(NavierStokesSolver):
 
             qnew, pnew, dP, psol = self._poisson_project(ustar, state)
             bcstate = self.bc.update_ghost_values(state["bc"], qnew)
+            fnew = state["f"] + df
+            # forces ride along in the stats stream so chunked dispatches
+            # (stepsPerDispatch > 1) still log them per step
             stats = {"v_iters": vsol.iters, "v_res": vsol.residual,
                      "p_iters": psol.iters, "p_res": psol.residual,
-                     "f_iters": fsol.iters, "f_res": fsol.residual}
+                     "f_iters": fsol.iters, "f_res": fsol.residual,
+                     "f": fnew}
             return dict(state, q=qnew, p=pnew, bc=bcstate, dP=dP, df=df,
-                        f=state["f"] + df), stats
+                        f=fnew), stats
 
         return step
 
@@ -131,39 +132,3 @@ class DecoupledIBPMSolver(NavierStokesSolver):
                 extra["force"].reshape(self.bodies.n_pts, self.mesh.dim),
                 self.dtype)
 
-    # ------------------------------------------------------------------
-    def write(self) -> None:
-        super().write()
-        self.write_forces_ascii()
-
-    def write_forces_ascii(self) -> None:
-        """forces-<start>.txt: t then per-body integrated force components
-        (reference: decoupledibpm.cpp:420-453).  Buffered like the
-        iterations log so per-step output never syncs the device."""
-        if self._forces_log is None:
-            self._forces_log = open(os.path.join(
-                self.output_dir, f"forces-{self.nstart}.txt"), "w")
-            self._forces_buffer = []
-        self._forces_buffer.append((self.t, self.state["f"]))
-        if self.ite % self.nsave == 0 or self.finished():
-            self._flush_forces()
-
-    def _flush_forces(self) -> None:
-        if not getattr(self, "_forces_buffer", None):
-            return
-        with self.timers.stage("integrateForces"):
-            items = jax.device_get(self._forces_buffer)
-        self._forces_buffer = []
-        for t, f in items:
-            favg = self.bodies.avg_forces(np.asarray(f))
-            cols = [f"{t:10.8e}"]
-            for body_force in favg:
-                cols.extend(f"{v:10.8e}" for v in body_force)
-            self._forces_log.write("\t".join(cols) + "\n")
-        self._forces_log.flush()
-
-    def close(self) -> None:
-        self._flush_forces()
-        super().close()
-        if self._forces_log and not self._forces_log.closed:
-            self._forces_log.close()

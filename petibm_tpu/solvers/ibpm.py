@@ -18,23 +18,21 @@ reference.
 
 from __future__ import annotations
 
-import os
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import solver_config
 from ..ibm.body import BodyPack
 from ..ibm.interp import DeltaOp
 from ..linalg import extract_diagonal, make_solver
 from ..types import Field
+from ._forceslog import ForcesLogMixin
 from .navierstokes import NavierStokesSolver
 
 tmap = jax.tree_util.tree_map
 
 
-class IBPMSolver(NavierStokesSolver):
+class IBPMSolver(ForcesLogMixin, NavierStokesSolver):
     def _extra_init(self, config: dict) -> None:
         self.bodies = BodyPack(config, self.mesh)
         if self.bodies.n_bodies == 0:
@@ -48,7 +46,6 @@ class IBPMSolver(NavierStokesSolver):
         self._create_coupled_poisson(config)
         self.state["dPhi"] = {"p": jnp.zeros_like(self.state["p"]),
                               "f": jnp.zeros_like(self.state["f"])}
-        self._forces_log = None
 
     # ------------------------------------------------------------------
     def _create_coupled_poisson(self, config: dict) -> None:
@@ -144,11 +141,14 @@ class IBPMSolver(NavierStokesSolver):
             qnew = tmap(lambda u, g: u - g, ustar,
                         self.bn(self._G_combined(dphi)))
             bcstate = self.bc.update_ghost_values(state["bc"], qnew)
+            fnew = state["f"] + dphi["f"]
+            # forces ride along in the stats stream so chunked dispatches
+            # (stepsPerDispatch > 1) still log them per step
             stats = {"v_iters": vsol.iters, "v_res": vsol.residual,
-                     "p_iters": psol.iters, "p_res": psol.residual}
+                     "p_iters": psol.iters, "p_res": psol.residual,
+                     "f": fnew}
             return dict(state, q=qnew, p=state["p"] + dphi["p"],
-                        f=state["f"] + dphi["f"], bc=bcstate,
-                        dPhi=dphi), stats
+                        f=fnew, bc=bcstate, dPhi=dphi), stats
 
         return step
 
@@ -172,37 +172,3 @@ class IBPMSolver(NavierStokesSolver):
                     extra["dF"].reshape(self.bodies.n_pts, self.mesh.dim),
                     self.dtype)}
 
-    def write(self) -> None:
-        super().write()
-        self.write_forces_ascii()
-
-    def write_forces_ascii(self) -> None:
-        """forces-<start>.txt (writeForcesASCII, ibpm.cpp:388-423);
-        buffered to avoid per-step device syncs."""
-        if self._forces_log is None:
-            self._forces_log = open(os.path.join(
-                self.output_dir, f"forces-{self.nstart}.txt"), "w")
-            self._forces_buffer = []
-        self._forces_buffer.append((self.t, self.state["f"]))
-        if self.ite % self.nsave == 0 or self.finished():
-            self._flush_forces()
-
-    def _flush_forces(self) -> None:
-        if not getattr(self, "_forces_buffer", None):
-            return
-        with self.timers.stage("integrateForces"):
-            items = jax.device_get(self._forces_buffer)
-        self._forces_buffer = []
-        for t, f in items:
-            favg = self.bodies.avg_forces(np.asarray(f))
-            cols = [f"{t:10.8e}"]
-            for body_force in favg:
-                cols.extend(f"{v:10.8e}" for v in body_force)
-            self._forces_log.write("\t".join(cols) + "\n")
-        self._forces_log.flush()
-
-    def close(self) -> None:
-        self._flush_forces()
-        super().close()
-        if self._forces_log and not self._forces_log.closed:
-            self._forces_log.close()
