@@ -141,7 +141,7 @@ def solver_config(config: dict, name: str) -> dict:
     # the reference's CPU/GPU backend switch, so the Krylov method override
     # is spelled "kspType" here
     for key, opt in (("kspType", "type"), ("atol", "atol"), ("rtol", "rtol"),
-                     ("max_it", "max_it"), ("pc", "pc")):
+                     ("max_it", "max_it"), ("pc", "pc"), ("dense", "dense")):
         if key in node:
             opts[opt] = node[key]
     if opts.get("pc") is None:

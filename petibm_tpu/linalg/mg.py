@@ -68,6 +68,7 @@ class PoissonMG:
         import jax
 
         self.use_pcr = jax.default_backend() != "cpu"
+        self._pallas_interpret = jax.default_backend() != "tpu"
 
         # finest-level 1D data: cell widths and face inverse-distances
         widths = [np.asarray(d, np.float64) for d in dxp]
@@ -221,6 +222,24 @@ class PoissonMG:
         diag = jnp.broadcast_to(level.diag, phi.shape)
         dl = jnp.broadcast_to(dl, phi.shape)
         du = jnp.broadcast_to(du, phi.shape)
+
+        if self.use_pcr and (self._pallas_interpret
+                             or jnp.dtype(phi.dtype).itemsize <= 4):
+            # fused kernels: all PCR passes stay in VMEM, no transpose;
+            # whole-array when it fits, independent-line blocks otherwise
+            from .pallas_pcr import (fits_vmem, pcr_pallas,
+                                     pcr_pallas_blocked, pick_block)
+
+            if fits_vmem(phi.shape, phi.dtype):
+                phi_star = pcr_pallas(dl, diag, du, b, axis=axis,
+                                      interpret=self._pallas_interpret)
+                return phi + self.omega * (phi_star - phi)
+            pb = pick_block(phi.shape, axis, phi.dtype)
+            if pb is not None:
+                phi_star = pcr_pallas_blocked(
+                    dl, diag, du, b, axis=axis, block_axis=pb[0], bs=pb[1],
+                    interpret=self._pallas_interpret)
+                return phi + self.omega * (phi_star - phi)
 
         # move the line axis last, batch-solve, move back
         def tolast(a):

@@ -59,6 +59,49 @@ class DecoupledIBPMSolver(ForcesLogMixin, NavierStokesSolver):
         self._ebnh = ebnh
         self._fopts = fopts
 
+        # For BN order 1, B_N = dt*I exactly, so EBNH = dt * E H is
+        # block-diagonal over velocity components with per-component
+        # (N, N) blocks prod_d (S_vol,d @ S_delta,d^T) — a few small MXU
+        # matmuls from the window factor matrices.  A direct dense solve
+        # replaces the Krylov iteration (observed 100+ iterations on the
+        # 3D sphere, each sweeping the full grid through spread/
+        # interpolate).  The reference instead materializes sparse EBNH
+        # via SpGEMM and iterates (decoupledibpm.cpp:171-216).  Opt out
+        # with parameters.forcesSolver.dense: false.
+        dense = bool(fopts.get("dense", self.bn_order == 1))
+        if dense and self.bn_order == 1:
+            from ..linalg.krylov import SolveResult
+
+            dt, dim, dtype = self.dt, self.mesh.dim, self.dtype
+
+            def dense_blocks(win):
+                mats = []
+                for c in range(dim):
+                    m = None
+                    for d in range(dim):
+                        a = jnp.einsum("pn,qn->pq", win[c]["sv"][d],
+                                       win[c]["sd"][d],
+                                       preferred_element_type=dtype)
+                        m = a if m is None else m * a
+                    mats.append(dt * m)
+                return mats
+
+            self._dense_ebnh_blocks = dense_blocks
+
+            def solve_forces(rhsf, win, x0=None):
+                mats = dense_blocks(win)
+                df = jnp.stack(
+                    [jnp.linalg.solve(mats[c], rhsf[:, c])
+                     for c in range(dim)], axis=1)
+                r = rhsf - ebnh(df, win)
+                res = jnp.sqrt(jnp.sum(r * r))
+                return SolveResult(x=df, iters=jnp.asarray(0, jnp.int32),
+                                   residual=res,
+                                   converged=jnp.asarray(True))
+
+            self._solve_forces = solve_forces
+            return
+
         def solve_forces(rhsf, win, x0=None):
             solver = make_solver(lambda df: ebnh(df, win), fopts)
             return solver(rhsf, jnp.zeros_like(rhsf) if x0 is None else x0)

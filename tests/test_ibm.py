@@ -321,3 +321,42 @@ def test_decoupled_ibpm_multibody(tmp_path):
     last = [float(v) for v in lines[-1].split("\t")]
     assert last[1] > 0.0 and last[3] > 0.0
     solver.close()
+
+
+def test_dense_ebnh_matches_matrix_free(tmp_path):
+    """BN=1 dense force system: the (N, N) component blocks built from the
+    window factor matrices must act identically to E B_N H, and the direct
+    solve must agree with the Krylov solve."""
+    import jax.numpy as jnp
+
+    cfg = ib_config(tmp_path, nt=1)
+    solver = DecoupledIBPMSolver(cfg)
+    win = solver._static_windows
+    mats = solver._dense_ebnh_blocks(win)
+    n = solver.bodies.n_pts
+    rng = np.random.default_rng(7)
+    f = jnp.asarray(rng.standard_normal((n, solver.mesh.dim)))
+    want = np.asarray(solver._ebnh(f, win))
+    got = np.stack([np.asarray(mats[c]) @ np.asarray(f[:, c])
+                    for c in range(solver.mesh.dim)], axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+    # direct solve vs Krylov solve of the same system
+    rhs = jnp.asarray(rng.standard_normal((n, solver.mesh.dim)))
+    df_dense = solver._solve_forces(rhs, win).x
+    from petibm_tpu.linalg import make_solver
+
+    krylov = make_solver(lambda df: solver._ebnh(df, win),
+                         {"type": "cg", "atol": 1e-12, "max_it": 2000})
+    df_kry = krylov(rhs, jnp.zeros_like(rhs)).x
+    np.testing.assert_allclose(np.asarray(df_dense), np.asarray(df_kry),
+                               rtol=0, atol=1e-8)
+
+
+def test_dense_opt_out_uses_krylov(tmp_path):
+    cfg = ib_config(tmp_path, nt=1)
+    cfg["parameters"]["forcesSolver"] = {"type": "CPU", "dense": False,
+                                         "atol": 1e-10, "max_it": 500}
+    solver = DecoupledIBPMSolver(cfg)
+    solver.advance()
+    stats = jax.device_get(solver._last_stats)
+    assert int(stats["f_iters"]) > 0  # Krylov path iterates
