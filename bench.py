@@ -6,8 +6,9 @@ closest published number — 2D IBPM cylinder Re=550, 450x450 stretched,
 1200 steps in < 5 min on 2 MPI ranks + 1 NVIDIA K40
 (doc/markdowns/examples2d.md:133) — i.e. 250 ms per time step.
 
-The full step (momentum BiCGStab, EBNH force solve, MG-preconditioned CG
-Poisson at the reference's atol 1e-6, projection) runs jitted on one TPU
+The full step (momentum CG — the Helmholtz operator is SPD, so CG replaces
+the reference's BiCGStab+Jacobi — dense EBNH force solve, MG-preconditioned
+CG Poisson at the reference's atol 1e-6, projection) runs jitted on one TPU
 chip, 50 steps per dispatch (parameters.stepsPerDispatch — lax.scan inside
 one XLA program, so host dispatch latency over the device tunnel amortizes
 across the chunk); measurement happens after a 300-step spin-up so Krylov

@@ -6,5 +6,11 @@ global reductions that XLA lowers to psum over the device mesh when the
 operands are sharded.
 """
 
-from .krylov import cg, bicgstab, SolveResult, make_solver  # noqa: F401
+from .krylov import (  # noqa: F401
+    SolveResult,
+    SolverDivergedError,
+    bicgstab,
+    cg,
+    make_solver,
+)
 from .probe_diag import extract_diagonal  # noqa: F401

@@ -21,6 +21,15 @@ import jax.numpy as jnp
 tmap = jax.tree_util.tree_map
 
 
+class SolverDivergedError(RuntimeError):
+    """A linear solver failed to reach its tolerance within max_it.
+
+    The reference hard-aborts in this situation with the solver name,
+    iteration count, and residual (linsolverksp.cpp:96-104); solvers raise
+    this from the buffered-stats flush so the failing step is identified
+    without per-step device syncs."""
+
+
 def _dot(x, y):
     leaves = jax.tree_util.tree_leaves(tmap(lambda a, b: jnp.sum(a * b), x, y))
     return sum(leaves)

@@ -14,5 +14,13 @@ from .stencil import (  # noqa: F401
     make_laplacian,
 )
 from .convection import make_convection  # noqa: F401
-from .diag import make_flux_areas, make_mhat, make_r, make_rinv  # noqa: F401
+from .diag import (  # noqa: F401
+    convert_to_flux,
+    convert_to_velocity,
+    make_flux_areas,
+    make_m,
+    make_mhat,
+    make_r,
+    make_rinv,
+)
 from .bn import make_bn  # noqa: F401

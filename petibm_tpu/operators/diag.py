@@ -58,3 +58,17 @@ def make_m(mesh: StaggeredMesh, dtype=jnp.float32) -> dict:
 # convenience alias used by the divergence factory
 def make_flux_areas(mesh: StaggeredMesh, dtype=jnp.float32) -> dict:
     return make_r(mesh, dtype)
+
+
+def convert_to_flux(mesh: StaggeredMesh, q: dict) -> dict:
+    """Velocity -> flux through the staggered faces: Q = R u
+    (reference: solutionsimple.cpp:107-119 convert2Flux)."""
+    r = make_r(mesh, next(iter(q.values())).dtype)
+    return {k: q[k] * r[k] for k in q}
+
+
+def convert_to_velocity(mesh: StaggeredMesh, q: dict) -> dict:
+    """Flux -> velocity: u = R^-1 Q
+    (reference: solutionsimple.cpp:90-105 convert2Velocity)."""
+    rinv = make_rinv(mesh, next(iter(q.values())).dtype)
+    return {k: q[k] * rinv[k] for k in q}

@@ -153,8 +153,11 @@ class DecoupledIBPMSolver(ForcesLogMixin, NavierStokesSolver):
             # forces ride along in the stats stream so chunked dispatches
             # (stepsPerDispatch > 1) still log them per step
             stats = {"v_iters": vsol.iters, "v_res": vsol.residual,
+                     "v_ok": vsol.converged,
                      "p_iters": psol.iters, "p_res": psol.residual,
+                     "p_ok": psol.converged,
                      "f_iters": fsol.iters, "f_res": fsol.residual,
+                     "f_ok": fsol.converged,
                      "f": fnew}
             return dict(state, q=qnew, p=pnew, bc=bcstate, dP=dP, df=df,
                         f=fnew), stats

@@ -33,6 +33,8 @@ tmap = jax.tree_util.tree_map
 
 
 class IBPMSolver(ForcesLogMixin, NavierStokesSolver):
+    _skip_base_poisson = True  # the {p, f} block system replaces p_solver
+
     def _extra_init(self, config: dict) -> None:
         self.bodies = BodyPack(config, self.mesh)
         if self.bodies.n_bodies == 0:
@@ -86,6 +88,21 @@ class IBPMSolver(ForcesLogMixin, NavierStokesSolver):
         pc = popts.get("pc", "mg")
         if pc == "mg":
             p_pre = self._make_poisson_pc(popts)
+            # the coupled operator itself cannot use the fused -D B1 G
+            # Pallas kernel (the force contribution -H f enters between G
+            # and D), but the MG preconditioner's level-0 residual is the
+            # plain pressure Poisson operator, so the V-cycle still gets
+            # the fused apply
+            if (not self.is_ref_p and self.bn_order == 1
+                    and getattr(self, "poisson_mg", None) is not None
+                    and self.sharding_mesh is None
+                    and not bool(config.get("parameters", {}).get(
+                        "disablePallas", False))):
+                from ..operators.pallas_stencil import make_pallas_poisson
+
+                fused = make_pallas_poisson(self.poisson_mg)
+                if fused is not None:
+                    self.poisson_mg.set_fused_apply(fused)
         else:
             diag_p = extract_diagonal(
                 lambda p: -self.div(bn(grad(p)), None, homogeneous=True),
@@ -145,7 +162,9 @@ class IBPMSolver(ForcesLogMixin, NavierStokesSolver):
             # forces ride along in the stats stream so chunked dispatches
             # (stepsPerDispatch > 1) still log them per step
             stats = {"v_iters": vsol.iters, "v_res": vsol.residual,
+                     "v_ok": vsol.converged,
                      "p_iters": psol.iters, "p_res": psol.residual,
+                     "p_ok": psol.converged,
                      "f": fnew}
             return dict(state, q=qnew, p=state["p"] + dphi["p"],
                         f=fnew, bc=bcstate, dPhi=dphi), stats

@@ -83,6 +83,10 @@ class NavierStokesSolver:
     """The projection-method driver (library-composable; IBPM and the
     decoupled IBPM inherit the skeleton, reference: navierstokes.h:29-292)."""
 
+    # subclasses replacing the pressure Poisson system set this to skip
+    # building the base p_solver (coupled IBPM)
+    _skip_base_poisson = False
+
     def __init__(self, config: dict):
         self.config = config
         self.timers = StageTimers()
@@ -190,6 +194,16 @@ class NavierStokesSolver:
         self._iter_log = open(self.iter_log_path, "w")
         self._last_stats = None
         self._stats_buffer = []
+        # reference parity: KSP SETERRQs when a solve diverges
+        # (linsolverksp.cpp:96-104).  "abort" raises SolverDivergedError at
+        # the next buffered-stats flush (per-step device syncs would stall
+        # the async pipeline); "warn" prints and continues; "ignore" is the
+        # round-2 behavior.
+        self.divergence_policy = str(params.get("divergence", "abort"))
+        if self.divergence_policy not in ("abort", "warn", "ignore"):
+            raise ValueError(
+                f"parameters.divergence must be abort|warn|ignore, got "
+                f"{self.divergence_policy!r}")
 
     def _extra_init(self, config: dict) -> None:
         """Subclass hook (bodies, extra operators/solvers)."""
@@ -233,6 +247,21 @@ class NavierStokesSolver:
         M_mom = ((lambda r: tmap(lambda a, b: a / b, r, diag_mom))
                  if vopts.get("pc") != "none" else None)
 
+        self.v_solver = make_solver(self.A_momentum, vopts, M=M_mom)
+        # warm starts reuse the previous step's solution/correction as the
+        # Krylov initial guess — converged states are identical to the
+        # reference's zero-guess KSP within the same tolerances, with far
+        # fewer iterations in developed flow
+        params = config.get("parameters", {})
+        self.warm_start = bool(params.get("warmStart", True))
+        self.warm_start_poisson = bool(params.get("warmStartPoisson", True))
+
+        if self._skip_base_poisson:
+            # the coupled IBPM replaces the pressure-only Poisson system
+            # with its own {p, f} block operator (ibpm.py); building the
+            # base p_solver here would be wasted setup work
+            return
+
         # pinned pressure (AmgX path) vs mean-projection (KSP path)
         self.is_ref_p = popts.get("backend") == "GPU"
         if self.is_ref_p:
@@ -274,15 +303,7 @@ class NavierStokesSolver:
                 # the V-cycle's level-0 residual is the same operator
                 self.poisson_mg.set_fused_apply(fused)
 
-        self.v_solver = make_solver(self.A_momentum, vopts, M=M_mom)
         self.p_solver = make_solver(negA_p, popts, M=M_p)
-        # warm starts reuse the previous step's solution/correction as the
-        # Krylov initial guess — converged states are identical to the
-        # reference's zero-guess KSP within the same tolerances, with far
-        # fewer iterations in developed flow
-        params = config.get("parameters", {})
-        self.warm_start = bool(params.get("warmStart", True))
-        self.warm_start_poisson = bool(params.get("warmStartPoisson", True))
 
     def _make_poisson_pc(self, popts: dict):
         """Preconditioner for the (negated) Poisson operator: geometric
@@ -372,7 +393,9 @@ class NavierStokesSolver:
             qnew, pnew, dP, psol = self._poisson_project(vsol.x, state)
             bcstate = self.bc.update_ghost_values(state["bc"], qnew)
             stats = {"v_iters": vsol.iters, "v_res": vsol.residual,
-                     "p_iters": psol.iters, "p_res": psol.residual}
+                     "v_ok": vsol.converged,
+                     "p_iters": psol.iters, "p_res": psol.residual,
+                     "p_ok": psol.converged}
             return dict(state, q=qnew, p=pnew, bc=bcstate, dP=dP), stats
 
         return step
@@ -506,11 +529,14 @@ class NavierStokesSolver:
         if self.ite % self.nsave == 0 or self.finished():
             self._flush_iter_log()
 
+    _SOLVER_NAMES = {"v": "velocity", "p": "poisson", "f": "forces"}
+
     def _flush_iter_log(self) -> None:
         if not self._stats_buffer:
             return
         items = jax.device_get(self._stats_buffer)
         self._stats_buffer = []
+        failures = []
         for ite0, s, count in items:
             for j in range(count):
                 sj = (s if count == 1
@@ -519,7 +545,27 @@ class NavierStokesSolver:
                 for iters, res in self._iter_log_stats(sj):
                     cols.append(f"{int(iters)}\t{float(res):e}")
                 self._iter_log.write("\t".join(cols) + "\n")
+                for key, val in sj.items():
+                    if key.endswith("_ok") and not bool(val):
+                        pre = key[:-3]
+                        failures.append(
+                            (self._SOLVER_NAMES.get(pre, pre), ite0 + j,
+                             int(sj[f"{pre}_iters"]),
+                             float(sj[f"{pre}_res"])))
         self._iter_log.flush()
+        if failures and self.divergence_policy != "ignore":
+            name, step, iters, res = failures[0]
+            msg = (f"{name} solver diverged at time step {step}: "
+                   f"{iters} iterations, residual {res:e} "
+                   f"(+{len(failures) - 1} more failure(s); see "
+                   f"{self.iter_log_path})")
+            if self.divergence_policy == "abort":
+                from ..linalg import SolverDivergedError
+
+                raise SolverDivergedError(msg)
+            import sys
+
+            print(f"WARNING: {msg}", file=sys.stderr)
 
     def _create_probes(self, config: dict) -> None:
         """Probe creation with output-dir path prepending
@@ -549,13 +595,31 @@ class NavierStokesSolver:
         Steps run in steps_per_dispatch chunks wherever no host event
         (save / restart / probe) falls inside the chunk."""
         self.io_initial_data()
-        while not self.finished():
-            if (self._chunk_fn is not None
-                    and self._steps_to_host_event() >= self.steps_per_dispatch):
-                self.advance_chunk()
-            else:
-                self.advance()
-            self.write()
+        try:
+            while not self.finished():
+                if (self._chunk_fn is not None
+                        and self._steps_to_host_event()
+                        >= self.steps_per_dispatch):
+                    self.advance_chunk()
+                else:
+                    self.advance()
+                self.write()
+        finally:
+            # crash-safe logging: a mid-run exception (including a solver-
+            # divergence abort) still lands every buffered per-step record
+            # on disk — the reference writes its logs unbuffered each step
+            self.flush_logs()
+
+    def flush_logs(self) -> None:
+        """Flush all buffered per-step logs (iterations, forces) to disk.
+        Buffers are cleared before any divergence abort re-raises, so a
+        second call after an exception is a no-op."""
+        try:
+            self._flush_iter_log()
+        finally:
+            flush_forces = getattr(self, "_flush_forces", None)
+            if flush_forces is not None:
+                flush_forces()
 
     def close(self) -> None:
         self._flush_iter_log()

@@ -115,3 +115,32 @@ def test_cavity_ghia_validation(tmp_path):
     # under-resolved at this grid, same as the reference at 32^2)
     np.testing.assert_allclose(interp, ghia_u, atol=6e-3)
     solver.close()
+
+
+def test_solver_divergence_aborts(tmp_path):
+    """A solve that exhausts max_it without reaching tolerance must raise
+    SolverDivergedError naming the solver (reference parity:
+    linsolverksp.cpp:96-104 SETERRQs on KSPConvergedReason < 0)."""
+    from petibm_tpu.linalg import SolverDivergedError
+
+    cfg = run_config(tmp_path, nt=2, nsave=2)
+    cfg["parameters"]["poissonSolver"] = {
+        "type": "CPU", "atol": 1e-300, "rtol": 0.0, "max_it": 1}
+    solver = NavierStokesSolver(cfg)
+    with pytest.raises(SolverDivergedError, match="poisson"):
+        solver.run()
+    # crash-safe logs: the per-step records up to the abort are on disk
+    lines = (tmp_path / "output" / "iterations-0.txt").read_text()
+    assert lines.strip()
+    solver.close()
+
+
+def test_solver_divergence_warn_policy(tmp_path, capsys):
+    cfg = run_config(tmp_path, nt=2, nsave=2)
+    cfg["parameters"]["divergence"] = "warn"
+    cfg["parameters"]["poissonSolver"] = {
+        "type": "CPU", "atol": 1e-300, "rtol": 0.0, "max_it": 1}
+    solver = NavierStokesSolver(cfg)
+    solver.run()  # must not raise
+    solver.close()
+    assert "diverged" in capsys.readouterr().err

@@ -309,3 +309,35 @@ def test_bn_order2_series():
     expect_u = dt * q["u"] + dt**2 * coeff * lq["u"]
     np.testing.assert_allclose(np.asarray(bn2(q)["u"]), np.asarray(expect_u),
                                rtol=1e-12)
+
+
+def test_flux_velocity_converters_roundtrip():
+    """R / R^-1 diagonal operators: flux = velocity * perpendicular face
+    area; converting there and back is exact (reference:
+    solutionsimple.cpp:90-119 convert2Velocity / convert2Flux)."""
+    from petibm_tpu.operators import (
+        convert_to_flux, convert_to_velocity, make_m, make_mhat, make_r)
+
+    cfg = cavity_config(8, 6)
+    cfg["mesh"][1]["subDomains"] = [
+        {"end": 0.5, "cells": 3, "stretchRatio": 0.8},
+        {"end": 1.0, "cells": 3, "stretchRatio": 1.25}]
+    mesh = StaggeredMesh(cfg)
+    rng = np.random.default_rng(3)
+    q = {"u": jnp.asarray(rng.standard_normal(mesh.shape(Field.U))),
+         "v": jnp.asarray(rng.standard_normal(mesh.shape(Field.V)))}
+    flux = convert_to_flux(mesh, q)
+    # u-flux through an x-face = u * dy of the u-cell
+    dy = mesh.bcast(Field.U, 1, mesh.dl(Field.U, 1))
+    np.testing.assert_allclose(np.asarray(flux["u"]),
+                               np.asarray(q["u"]) * dy, rtol=1e-14)
+    back = convert_to_velocity(mesh, flux)
+    for k in q:
+        np.testing.assert_allclose(np.asarray(back[k]), np.asarray(q[k]),
+                                   rtol=1e-14)
+    # M = MHat * R^-1 identity (creatediagmatrix.cpp:180-207)
+    m, mh, r = make_m(mesh), make_mhat(mesh), make_r(mesh)
+    for k in m:
+        np.testing.assert_allclose(np.asarray(m[k]),
+                                   np.asarray(mh[k]) / np.asarray(r[k]),
+                                   rtol=1e-14)
