@@ -8,6 +8,11 @@ dot products to psum over ICI — there is no hand-written halo code, exactly
 as the reference has none (PETSc's DMGlobalToLocal fills the same role).
 """
 
+from .multihost import (  # noqa: F401
+    is_initialized,
+    maybe_initialize,
+    process_info,
+)
 from .dist import (  # noqa: F401
     FIELD_KEYS,
     constrain_fields,

@@ -165,6 +165,74 @@ class DecoupledIBPMSolver(ForcesLogMixin, NavierStokesSolver):
         return step
 
     # ------------------------------------------------------------------
+    def _profile_phases(self):
+        """Stage list with the IBM phases (reference log stages moveIB /
+        rhsForces / solveForces, decoupledibpm.cpp:93-97,
+        rigidkinematics.cpp:58)."""
+
+        def moveIB(ctx):
+            state = self._pre_step(ctx["state"])
+            win = self._windows(state)
+            probe = win[0]["sd"][0].ravel()[0]
+            return dict(ctx, state=state, win=win), probe
+
+        def rhsVelocity(ctx):
+            rhs1, state = self._rhs_velocity(ctx["state"])
+            hf = self.delta.spread(state["f"], ctx["win"])
+            rhs1 = tmap(lambda r, x: r + x, rhs1, hf)
+            return dict(ctx, state=state, rhs1=rhs1), rhs1["u"].ravel()[0]
+
+        def solveVelocity(ctx):
+            vsol = self._solve_velocity(ctx["rhs1"], ctx["state"])
+            return dict(ctx, ustar=vsol.x), vsol.residual
+
+        def rhsForces(ctx):
+            rhsf = -self.delta.interpolate(ctx["ustar"], ctx["win"])
+            ub = self._body_velocity(ctx["state"])
+            if ub is not None:
+                rhsf = rhsf + ub
+            return dict(ctx, rhsf=rhsf), rhsf.ravel()[0]
+
+        def solveForces(ctx):
+            state = ctx["state"]
+            x0 = state["df"] if self.warm_start_poisson else None
+            fsol = self._solve_forces(ctx["rhsf"], ctx["win"], x0)
+            return dict(ctx, df=fsol.x), fsol.residual
+
+        def applyNoSlip(ctx):
+            ustar = tmap(lambda u, x: u + x, ctx["ustar"],
+                         self.bn(self.delta.spread(ctx["df"], ctx["win"])))
+            return dict(ctx, ustar=ustar), ustar["u"].ravel()[0]
+
+        def rhsPoisson(ctx):
+            rhs2 = self._rhs_poisson(ctx["ustar"], ctx["state"])
+            return dict(ctx, rhs2=rhs2), rhs2.ravel()[0]
+
+        def solvePoisson(ctx):
+            psol = self._solve_poisson(ctx["rhs2"], ctx["state"])
+            return dict(ctx, dP=psol.x), psol.residual
+
+        def update(ctx):
+            state = ctx["state"]
+            qnew, pnew, dP = self._project_update(ctx["ustar"], ctx["dP"],
+                                                  state)
+            bc = self.bc.update_ghost_values(state["bc"], qnew)
+            fnew = state["f"] + ctx["df"]
+            state = dict(state, q=qnew, p=pnew, dP=dP, bc=bc,
+                         df=ctx["df"], f=fnew)
+            return {"state": state}, pnew.ravel()[0]
+
+        return [("moveIB", moveIB),
+                ("rhsVelocity", rhsVelocity),
+                ("solveVelocity", solveVelocity),
+                ("rhsForces", rhsForces),
+                ("solveForces", solveForces),
+                ("applyNoSlip", applyNoSlip),
+                ("rhsPoisson", rhsPoisson),
+                ("solvePoisson", solvePoisson),
+                ("update", update)]
+
+    # ------------------------------------------------------------------
     def _iter_log_stats(self, s: dict):
         return super()._iter_log_stats(s) + [(s["f_iters"], s["f_res"])]
 

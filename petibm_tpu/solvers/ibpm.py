@@ -172,6 +172,55 @@ class IBPMSolver(ForcesLogMixin, NavierStokesSolver):
         return step
 
     # ------------------------------------------------------------------
+    def _profile_phases(self):
+        """Stage list for the coupled solver: the combined {p, f} system
+        replaces the rhsPoisson/solvePoisson stages."""
+
+        def rhsVelocity(ctx):
+            rhs1, state = self._rhs_velocity(ctx["state"])
+            return dict(ctx, state=state, rhs1=rhs1), rhs1["u"].ravel()[0]
+
+        def solveVelocity(ctx):
+            vsol = self._solve_velocity(ctx["rhs1"], ctx["state"])
+            return dict(ctx, ustar=vsol.x), vsol.residual
+
+        def rhsPoisson(ctx):
+            state, ustar = ctx["state"], ctx["ustar"]
+            rhs_p = self.div(ustar, state["bc"])
+            rhs_f = self.delta.interpolate(ustar, self._win)
+            if self.is_ref_p:
+                rhs_p = rhs_p.reshape(-1).at[0].set(0.0).reshape(rhs_p.shape)
+            else:
+                rhs_p = rhs_p - jnp.mean(rhs_p)
+            rhs = {"p": -rhs_p, "f": -rhs_f}
+            return dict(ctx, rhs=rhs), rhs_p.ravel()[0]
+
+        def solvePoisson(ctx):
+            state = ctx["state"]
+            phi0 = (state["dPhi"] if self.warm_start_poisson
+                    else {"p": jnp.zeros_like(state["p"]),
+                          "f": jnp.zeros_like(state["f"])})
+            psol = self._coupled_solver(ctx["rhs"], phi0)
+            return dict(ctx, dphi=psol.x), psol.residual
+
+        def update(ctx):
+            state, dphi = ctx["state"], ctx["dphi"]
+            if not self.is_ref_p:
+                dphi = dict(dphi, p=dphi["p"] - jnp.mean(dphi["p"]))
+            qnew = tmap(lambda u, g: u - g, ctx["ustar"],
+                        self.bn(self._G_combined(dphi)))
+            bc = self.bc.update_ghost_values(state["bc"], qnew)
+            state = dict(state, q=qnew, p=state["p"] + dphi["p"],
+                         f=state["f"] + dphi["f"], bc=bc, dPhi=dphi)
+            return {"state": state}, state["p"].ravel()[0]
+
+        return [("rhsVelocity", rhsVelocity),
+                ("solveVelocity", solveVelocity),
+                ("rhsPoisson", rhsPoisson),
+                ("solvePoisson", solvePoisson),
+                ("update", update)]
+
+    # ------------------------------------------------------------------
     def _restart_extra(self) -> dict:
         return {"force": self.state["f"], "dP": self.state["dPhi"]["p"],
                 "dF": self.state["dPhi"]["f"]}

@@ -121,8 +121,11 @@ class NavierStokesSolver:
         # decomposition, cartesianmesh.cpp:492-538): a `parameters.sharding`
         # node shards every grid field over a ("dy","dx") device mesh;
         # GSPMD inserts the halo exchanges and psum reductions over ICI
-        from ..parallel import mesh_from_config
+        from ..parallel import maybe_initialize, mesh_from_config
 
+        # multi-host bring-up must precede any backend query (the MPI_Init
+        # analogue; reference: PetscInitialize in every app main.cpp)
+        maybe_initialize(params.get("distributed"))
         self.sharding_mesh = mesh_from_config(params.get("sharding"))
         # XLA:CPU emulates collectives with an in-process thread rendezvous
         # that can deadlock when many multi-device executions are in flight
@@ -366,22 +369,36 @@ class NavierStokesSolver:
         x0 = state["q"] if self.warm_start else tmap(jnp.zeros_like, state["q"])
         return self.v_solver(rhs1, x0)
 
-    def _poisson_project(self, ustar, state):
-        """assembleRHSPoisson + solvePoisson + projection + pressure update
-        (navierstokes.cpp:540-615); returns (q, p, dP, poisson result)."""
-        p, bcstate = state["p"], state["bc"]
-        rhs2 = self.div(ustar, bcstate)
+    def _rhs_poisson(self, ustar, state):
+        """assembleRHSPoisson (navierstokes.cpp:540-563)."""
+        rhs2 = self.div(ustar, state["bc"])
         if self.is_ref_p:
             rhs2 = rhs2.reshape(-1).at[0].set(0.0).reshape(rhs2.shape)
         else:
             rhs2 = rhs2 - jnp.mean(rhs2)  # nullspace-consistent RHS
-        x0 = state["dP"] if self.warm_start_poisson else jnp.zeros_like(p)
-        psol = self.p_solver(-rhs2, x0)
-        dP = psol.x
+        return rhs2
+
+    def _solve_poisson(self, rhs2, state):
+        """solvePoisson (navierstokes.cpp:566-580)."""
+        x0 = (state["dP"] if self.warm_start_poisson
+              else jnp.zeros_like(state["p"]))
+        return self.p_solver(-rhs2, x0)
+
+    def _project_update(self, ustar, dP, state):
+        """applyDivergenceFreeVelocity + updatePressure
+        (navierstokes.cpp:583-615); returns (q, p, dP)."""
         if not self.is_ref_p:
             dP = dP - jnp.mean(dP)
         qnew = tmap(lambda u, g: u - g, ustar, self.bn(self.grad(dP)))
-        return qnew, p + dP, dP, psol
+        return qnew, state["p"] + dP, dP
+
+    def _poisson_project(self, ustar, state):
+        """assembleRHSPoisson + solvePoisson + projection + pressure update
+        (navierstokes.cpp:540-615); returns (q, p, dP, poisson result)."""
+        rhs2 = self._rhs_poisson(ustar, state)
+        psol = self._solve_poisson(rhs2, state)
+        qnew, pnew, dP = self._project_update(ustar, psol.x, state)
+        return qnew, pnew, dP, psol
 
     def _build_step(self):
         """One time step as a pure state->state function
@@ -399,6 +416,56 @@ class NavierStokesSolver:
             return dict(state, q=qnew, p=pnew, bc=bcstate, dP=dP), stats
 
         return step
+
+    # ------------------------------------------------------------------
+    def _profile_phases(self):
+        """Ordered (name, fn) phase list reproducing one time step for the
+        stage profiler (the reference's PETSc log stages,
+        navierstokes.cpp:99-199).  Each fn maps a context dict to
+        (context, probe) where probe is a tiny scalar data-dependent on the
+        phase's output — device_get(probe) is an honest completion sync
+        even over the relayed TPU (see utils/profiling.py)."""
+
+        def rhsVelocity(ctx):
+            rhs1, state = self._rhs_velocity(ctx["state"])
+            return dict(ctx, state=state, rhs1=rhs1), rhs1["u"].ravel()[0]
+
+        def solveVelocity(ctx):
+            vsol = self._solve_velocity(ctx["rhs1"], ctx["state"])
+            return dict(ctx, ustar=vsol.x), vsol.residual
+
+        def rhsPoisson(ctx):
+            rhs2 = self._rhs_poisson(ctx["ustar"], ctx["state"])
+            return dict(ctx, rhs2=rhs2), rhs2.ravel()[0]
+
+        def solvePoisson(ctx):
+            psol = self._solve_poisson(ctx["rhs2"], ctx["state"])
+            return dict(ctx, dP=psol.x), psol.residual
+
+        def update(ctx):
+            state = ctx["state"]
+            qnew, pnew, dP = self._project_update(ctx["ustar"], ctx["dP"],
+                                                  state)
+            bc = self.bc.update_ghost_values(state["bc"], qnew)
+            state = dict(state, q=qnew, p=pnew, dP=dP, bc=bc)
+            return {"state": state}, pnew.ravel()[0]
+
+        return [("rhsVelocity", rhsVelocity),
+                ("solveVelocity", solveVelocity),
+                ("rhsPoisson", rhsPoisson),
+                ("solvePoisson", solvePoisson),
+                ("update", update)]
+
+    def profile_stages(self, steps: int = 10, warmup: int = 3,
+                       path: str | None = None) -> dict:
+        """Per-phase device-time breakdown of the time step; see
+        utils/profiling.py.  Writes the stage table to
+        logs/stages-<start>.txt (or ``path``) and returns {phase: ms}."""
+        from ..utils.profiling import profile_stages
+
+        if path is None:
+            path = os.path.join(self.logs_dir, f"stages-{self.ite}.txt")
+        return profile_stages(self, steps=steps, warmup=warmup, path=path)
 
     # ------------------------------------------------------------------
     def advance(self) -> None:

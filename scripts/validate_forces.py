@@ -1,0 +1,225 @@
+"""Quantitative force-coefficient validation harness.
+
+Runs the BASELINE.md physics-parity cases end-to-end and reduces the
+forces log to the published validation numbers (reference:
+doc/markdowns/examples2d.md:78-136 and the examples' postprocessing
+scripts, e.g. examples/ibpm/cylinder2dRe40/scripts/plotDragCoefficient.py
+which plots Cd = 2*fx against Koumoutsakos & Leonard 1995):
+
+  re40         decoupled IBPM cylinder Re=40, 186^2 stretched, t=20
+               target: Cd ~ 1.5-1.6 (Koumoutsakos & Leonard 1995)
+  re200        decoupled IBPM cylinder Re=200, 450^2 stretched, developed
+               vortex shedding; targets: mean Cd ~ 1.25-1.45,
+               Cl amplitude ~ 0.55-0.75, Strouhal ~ 0.19-0.21
+               (Braza et al. 1986; Liu et al. 1998 — the standard refs)
+  oscillating  rigid-kinematics in-line oscillating cylinder, Re=100 KC=5;
+               Morison fit of the in-line force history:
+               CD ~ 2.09, CM ~ 1.45 (Dutsch et al. 1998)
+  sphere300    decoupled IBPM 3D sphere Re=300; targets: Cd ~ 0.63-0.68,
+               |Cl| ~ 0.04-0.09 (Johnson & Patel 1999)
+
+Each case prints one JSON line and appends it to validation/<case>.json.
+Run one case per process; over the tunneled TPU never run two at once:
+
+  python scripts/validate_forces.py re40
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def load_case(name: str, overrides: dict | None = None) -> dict:
+    from petibm_tpu.config import load_config
+
+    directory = os.path.join(REPO, "examples", "decoupledibpm", name)
+    cfg = load_config(directory=directory)
+    out = os.path.join(directory, "output")
+    cfg["output"] = out
+    cfg["logs"] = os.path.join(out, "logs")
+    params = cfg.setdefault("parameters", {})
+    for key, val in (overrides or {}).items():
+        params[key] = val
+    return cfg
+
+
+def read_forces(output_dir: str, dim: int = 2) -> np.ndarray:
+    """(n, 1+dim) array: t, fx, fy[, fz] of body 0."""
+    return np.loadtxt(os.path.join(output_dir, "forces-0.txt"))
+
+
+def run(cfg: dict, solver_cls) -> tuple:
+    t0 = time.perf_counter()
+    solver = solver_cls(cfg)
+    t1 = time.perf_counter()
+    solver.run()
+    solver.close()
+    t2 = time.perf_counter()
+    return solver, t1 - t0, t2 - t1
+
+
+def emit(case: str, result: dict) -> None:
+    os.makedirs(os.path.join(REPO, "validation"), exist_ok=True)
+    line = json.dumps(result)
+    print(line)
+    with open(os.path.join(REPO, "validation", f"{case}.json"), "w") as fh:
+        fh.write(line + "\n")
+
+
+def platform_detail(setup_s: float, run_s: float, nt: int) -> dict:
+    import jax
+
+    return {"platform": jax.devices()[0].platform,
+            "device": str(jax.devices()[0]),
+            "setup_s": round(setup_s, 1), "run_s": round(run_s, 1),
+            "steps": nt, "ms_per_step": round(run_s / nt * 1e3, 3)}
+
+
+# ----------------------------------------------------------------------
+def case_re40(args) -> None:
+    from petibm_tpu.solvers.decoupledibpm import DecoupledIBPMSolver
+
+    cfg = load_case("cylinder2dRe40", {
+        "nt": args.nt or 2000, "nsave": 500, "nrestart": 100000,
+        "dtype": args.dtype, "stepsPerDispatch": args.chunk})
+    solver, setup_s, run_s = run(cfg, DecoupledIBPMSolver)
+    data = read_forces(cfg["output"])
+    t, cd = data[:, 0], 2 * data[:, 1]
+    # Koumoutsakos & Leonard 1995: Cd ~ 1.55 at t = 20 (examples2d.md:80)
+    cd_end = float(cd[-1])
+    result = {
+        "case": "cylinder2dRe40_decoupledibpm",
+        "grid": "186x186 stretched",
+        "cd_at_t": {f"{tt:g}": float(np.interp(tt, t, cd))
+                    for tt in (2.0, 5.0, 10.0, 20.0) if tt <= t[-1] + 1e-9},
+        "cd_final": round(cd_end, 4), "t_final": float(t[-1]),
+        "target": "Cd 1.5-1.6 at t=20 (Koumoutsakos & Leonard 1995)",
+        "pass": bool(1.5 <= cd_end <= 1.65),
+        "detail": platform_detail(setup_s, run_s, len(t)),
+    }
+    emit("re40", result)
+
+
+def case_re200(args) -> None:
+    from petibm_tpu.solvers.decoupledibpm import DecoupledIBPMSolver
+
+    nt = args.nt or 60000  # dt 0.0025 -> t = 150: developed shedding
+    cfg = load_case("cylinder2dRe200", {
+        "nt": nt, "nsave": 10000, "nrestart": 1000000,
+        "dtype": args.dtype, "stepsPerDispatch": args.chunk})
+    solver, setup_s, run_s = run(cfg, DecoupledIBPMSolver)
+    data = read_forces(cfg["output"])
+    t, cd, cl = data[:, 0], 2 * data[:, 1], 2 * data[:, 2]
+    # statistics over the last 40% (developed shedding)
+    sel = t >= 0.6 * t[-1]
+    cd_mean = float(np.mean(cd[sel]))
+    cl_amp = float(0.5 * (np.max(cl[sel]) - np.min(cl[sel])))
+    # Strouhal from mean period between upward zero crossings of Cl
+    cls, ts = cl[sel], t[sel]
+    crossings = ts[1:][(cls[:-1] < 0) & (cls[1:] >= 0)]
+    strouhal = (float(1.0 / np.mean(np.diff(crossings)))
+                if len(crossings) > 2 else None)
+    result = {
+        "case": "cylinder2dRe200_decoupledibpm",
+        "grid": "450x450 stretched",
+        "cd_mean": round(cd_mean, 4), "cl_amp": round(cl_amp, 4),
+        "strouhal": round(strouhal, 4) if strouhal else None,
+        "t_final": float(t[-1]),
+        "target": "Cd ~ 1.25-1.45, Cl amp ~ 0.55-0.75, St ~ 0.19-0.21 "
+                  "(Braza et al. 1986; Liu et al. 1998)",
+        "pass": bool(1.25 <= cd_mean <= 1.45 and 0.5 <= cl_amp <= 0.8
+                     and strouhal and 0.185 <= strouhal <= 0.215),
+        "detail": platform_detail(setup_s, run_s, len(t)),
+    }
+    emit("re200", result)
+
+
+def case_oscillating(args) -> None:
+    from petibm_tpu.solvers.rigidkinematics import RigidKinematicsSolver
+
+    nt = args.nt or 10000  # dt 0.002, T = 1/f = 5 -> 4 periods
+    cfg = load_case("oscillatingcylinder2dRe100", {
+        "nt": nt, "nsave": 2000, "nrestart": 1000000,
+        "dtype": args.dtype, "stepsPerDispatch": args.chunk})
+    solver, setup_s, run_s = run(cfg, RigidKinematicsSolver)
+    data = read_forces(cfg["output"])
+    t, fx = data[:, 0], data[:, 1]
+    # Morison-equation fit over the last 2 periods:
+    #   Fx(t) = -1/2 CD D |u| u - CM rho pi D^2/4 du/dt,
+    # cylinder velocity u(t) = -Um cos(2 pi f t) (x = -Am sin(2 pi f t))
+    f, D, KC = 0.2, 1.0, 5.0
+    Um = KC * f * D
+    sel = t >= t[-1] - 2.0 / f
+    ts, fs = t[sel], fx[sel]
+    u = -Um * np.cos(2 * np.pi * f * ts)
+    dudt = Um * 2 * np.pi * f * np.sin(2 * np.pi * f * ts)
+    basis = np.stack([-0.5 * D * np.abs(u) * u,
+                      -np.pi * D**2 / 4 * dudt], axis=1)
+    (cd_fit, cm_fit), *_ = np.linalg.lstsq(basis, fs, rcond=None)
+    result = {
+        "case": "oscillatingcylinder2dRe100_rigidkinematics",
+        "grid": "512x512 uniform", "KC": KC, "Re": 100,
+        "cd_morison": round(float(cd_fit), 4),
+        "cm_morison": round(float(cm_fit), 4),
+        "t_final": float(t[-1]),
+        "target": "CD ~ 2.09, CM ~ 1.45 (Dutsch et al. 1998, Re=100 KC=5)",
+        "pass": bool(1.85 <= cd_fit <= 2.35 and 1.2 <= cm_fit <= 1.7),
+        "detail": platform_detail(setup_s, run_s, len(t)),
+    }
+    emit("oscillating", result)
+
+
+def case_sphere300(args) -> None:
+    from petibm_tpu.solvers.decoupledibpm import DecoupledIBPMSolver
+
+    nt = args.nt or 12000  # dt 0.005 -> t = 60 (shedding onset ~ t 30)
+    cfg = load_case("sphere3dRe300", {
+        "nt": nt, "nsave": 4000, "nrestart": 1000000,
+        "dtype": args.dtype, "stepsPerDispatch": args.chunk})
+    solver, setup_s, run_s = run(cfg, DecoupledIBPMSolver)
+    data = read_forces(cfg["output"])
+    area = np.pi / 4  # frontal area of the unit-diameter sphere
+    t = data[:, 0]
+    cd = 2 * data[:, 1] / area
+    cl = 2 * np.sqrt(data[:, 2] ** 2 + data[:, 3] ** 2) / area
+    sel = t >= 0.7 * t[-1]
+    cd_mean, cl_mean = float(np.mean(cd[sel])), float(np.mean(cl[sel]))
+    result = {
+        "case": "sphere3dRe300_decoupledibpm",
+        "grid": "160x130x130 stretched",
+        "cd_mean": round(cd_mean, 4), "cl_mean": round(cl_mean, 4),
+        "t_final": float(t[-1]),
+        "target": "Cd ~ 0.63-0.68, Cl ~ 0.04-0.09 (Johnson & Patel 1999)",
+        "pass": bool(0.60 <= cd_mean <= 0.72),
+        "detail": platform_detail(setup_s, run_s, len(t)),
+    }
+    emit("sphere300", result)
+
+
+CASES = {"re40": case_re40, "re200": case_re200,
+         "oscillating": case_oscillating, "sphere300": case_sphere300}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("case", choices=sorted(CASES))
+    ap.add_argument("--nt", type=int, default=None)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--chunk", type=int, default=50,
+                    help="stepsPerDispatch")
+    args = ap.parse_args()
+    CASES[args.case](args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
