@@ -111,6 +111,37 @@ def main() -> int:
 
     ms_per_step = elapsed / iters * 1e3
     baseline_ms = 250.0  # reference: 1200 steps < 5 min (2 MPI + K40)
+
+    # --- north-star metrics (BASELINE.json): SpMV nnz/s on the solver's
+    # own fused Poisson apply, and the step's HBM-bandwidth utilization ---
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scripts.bench_spmv import bench_apply, stream_bw_bytes_per_s
+
+    bw = stream_bw_bytes_per_s()  # measured stream roofline, B/s
+    phi = state["p"]
+    t_apply = bench_apply(solver._negA_p, phi)
+    ncells = int(phi.size)
+    nnz = 5 * ncells  # 5-point pressure Poisson rows
+    # DIA apply mandatory traffic: phi + out + 5 coefficient diagonals, f32
+    sol_nnz_s = bw * nnz / (7 * ncells * 4)
+    nnz_per_s = nnz / t_apply
+
+    # HBM utilization of the hot operator: mandatory DIA traffic over
+    # measured apply time, as a fraction of the measured stream bandwidth
+    # (identical to the roofline fraction — the apply is bandwidth-bound)
+    hbm_util = (7 * ncells * 4) / t_apply / bw
+    # whole-step bytes from XLA's cost model — a LOWER bound only: while
+    # loop bodies (the Krylov/V-cycle iterations) are counted once
+    step_util_lb = None
+    try:
+        cost = solver._chunk_fn.lower(state).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        chunk_bytes = float(cost.get("bytes accessed", 0.0))
+        if chunk_bytes > 0:
+            step_util_lb = (chunk_bytes / k) / (ms_per_step / 1e3) / bw
+    except Exception:
+        pass
     result = {
         "metric": "decoupled_ibpm_cylinder_re200_450sq_step_ms",
         "value": round(ms_per_step, 3),
@@ -127,6 +158,15 @@ def main() -> int:
             "p_res": float(stats["p_res"]),
             "steps_per_dispatch": k,
             "measured_after_steps": warmup_chunks * k,
+            # north-star: fused -D B1 G apply (the CG hot loop operator)
+            "nnz_per_s": round(nnz_per_s, 0),
+            "spmv_gnnz_per_s": round(nnz_per_s / 1e9, 3),
+            "spmv_vs_roofline": round(nnz_per_s / sol_nnz_s, 3),
+            "spmv_ms_per_apply": round(t_apply * 1e3, 4),
+            "stream_GBps": round(bw / 1e9, 1),
+            "hbm_bw_utilization": round(hbm_util, 3),
+            "step_hbm_utilization_xla_cost_model_lb": (
+                round(step_util_lb, 4) if step_util_lb is not None else None),
         },
     }
     print(json.dumps(result))

@@ -17,7 +17,21 @@ def make_parser(description: str) -> argparse.ArgumentParser:
     for name in ("directory", "config", "mesh", "flow", "parameters",
                  "bodies", "probes", "output", "logs"):
         ap.add_argument(f"-{name}", f"--{name}", dest=name, default=None)
+    ap.add_argument("--profile-stages", dest="profile_stages", type=int,
+                    default=0, metavar="STEPS",
+                    help="after the run, time each solver phase over STEPS "
+                         "steps and write logs/stages-<n>.txt (the "
+                         "reference's PETSc log-stage dump)")
     return ap
+
+
+def maybe_profile(solver, args) -> None:
+    """Run the per-phase stage profiler when --profile-stages was given."""
+    if getattr(args, "profile_stages", 0):
+        result = solver.profile_stages(steps=args.profile_stages)
+        width = max(len(k) for k in result)
+        for name, ms in result.items():
+            print(f"  {name:>{width}s}: {ms:8.3f} ms")
 
 
 def config_from_args(args) -> dict:

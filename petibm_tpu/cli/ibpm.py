@@ -5,7 +5,7 @@ from __future__ import annotations
 import sys
 
 from ..solvers.ibpm import IBPMSolver
-from .common import config_from_args, make_parser
+from .common import config_from_args, make_parser, maybe_profile
 
 
 def main(argv=None) -> int:
@@ -15,12 +15,8 @@ def main(argv=None) -> int:
     solver = IBPMSolver(config)
     print(solver.mesh.info())
     print(f"bodies: {solver.bodies.n_bodies} ({solver.bodies.n_pts} points)")
-    solver.io_initial_data()
-    while not solver.finished():
-        solver.advance()
-        solver.write()
-        if solver.ite % solver.nsave == 0 or solver.finished():
-            print(f"[time step {solver.ite}] t = {solver.t:.6g}")
+    solver.run(progress=True)
+    maybe_profile(solver, args)
     solver.close()
     print(solver.timers.report())
     return 0

@@ -6,7 +6,7 @@ from __future__ import annotations
 import sys
 
 from ..solvers.navierstokes import NavierStokesSolver
-from .common import config_from_args, make_parser
+from .common import config_from_args, make_parser, maybe_profile
 
 
 def main(argv=None) -> int:
@@ -14,12 +14,8 @@ def main(argv=None) -> int:
     config = config_from_args(args)
     solver = NavierStokesSolver(config)
     print(solver.mesh.info())
-    solver.io_initial_data()
-    while not solver.finished():
-        solver.advance()
-        solver.write()
-        if solver.ite % max(1, solver.nsave // 1) == 0 or solver.finished():
-            print(f"[time step {solver.ite}] t = {solver.t:.6g}")
+    solver.run(progress=True)
+    maybe_profile(solver, args)
     solver.close()
     print(solver.timers.report())
     return 0

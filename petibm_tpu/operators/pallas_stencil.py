@@ -135,36 +135,44 @@ _HALO = 8
 def _slab_dma(pl, pltpu, phi_hbm, slab_ref, sem, bs: int, axis_len: int,
               blk, slot):
     """The async copy bringing block ``blk``'s halo'd slab into slot
-    ``slot`` of the double-buffered scratch."""
+    ``slot`` of the double-buffered scratch.
+
+    The copy is always ``bs + 2h`` rows from a clamped source start, but
+    the *destination* offset shifts so that global row ``blk*bs`` always
+    lands at slab row ``2h``: dst = 2h - (blk*bs - start), i.e. h for
+    interior blocks, 2h for the first, 0 for the last.  Compute can then
+    use purely static slab slices (Mosaic only lowers static vector slice
+    offsets) with no per-block select."""
     h = _HALO
     start = jnp.clip(blk * bs - h, 0, axis_len - (bs + 2 * h))
-    # bs, axis_len and h are all multiples of the 8-row tile, so start is
-    # too; Mosaic's divisibility prover needs the explicit hint
+    # bs, axis_len and h are all multiples of the 8-row tile, so start and
+    # dst are too; Mosaic's divisibility prover needs the explicit hint
     start = pl.multiple_of(start, h)
-    return pltpu.make_async_copy(phi_hbm.at[pl.ds(start, bs + 2 * h)],
-                                 slab_ref.at[slot], sem.at[slot])
+    dst = pl.multiple_of(2 * h - (blk * bs - start), h)
+    return pltpu.make_async_copy(
+        phi_hbm.at[pl.ds(start, bs + 2 * h)],
+        slab_ref.at[slot, pl.ds(dst, bs + 2 * h)], sem.at[slot])
 
 
-def _slab_parts(pl, pltpu, phi_hbm, slab_ref, sem, bs: int, axis_len: int):
+def _slab_parts(pl, pltpu, phi_hbm, slab_ref, sem, bs: int, axis_len: int,
+                nblk: int):
     """Return (lo, mid, hi) slab views for grid step i: mid = the block's
-    own rows/planes, lo/hi = its -1/+1 neighbors (zero beyond the domain
-    edge, where the DIA coefficients are zero anyway).
+    own rows/planes at the fixed slab offset 2h, lo/hi its -1/+1 neighbor
+    rows — all static slices (see _slab_dma).
 
     The slab DMA is double-buffered across grid steps: step i kicks off
     block i+1's copy before waiting on its own, so the HBM fetch of the
     next slab overlaps this block's compute (grid steps run sequentially
     on the core).
 
-    The block's offset within the slab is 0 / _HALO / 2*_HALO for the
-    first / interior / last block.  Mosaic only lowers *static* vector
-    slice offsets, so all three variants are built with static slices and
-    selected by predicate — cheap VPU selects next to the HBM-bound DMA.
+    Domain-edge neighbor rows (row 2h-1 for the first block, row 2h+bs for
+    the last) lie outside that block's copy; their products are zeroed by
+    the zero DIA boundary coefficients, so stale-but-finite data is
+    harmless.  The only hazard is *uninitialized* scratch (NaN * 0 = NaN)
+    on a slot's first use, which the i == 0 zeroing below covers.
     """
     h = _HALO
     i = pl.program_id(0)
-    nblk = pl.num_programs(0)
-    first = i == 0
-    last = i == nblk - 1
     slot = i % 2
     nxt = (i + 1) % 2
 
@@ -172,8 +180,16 @@ def _slab_parts(pl, pltpu, phi_hbm, slab_ref, sem, bs: int, axis_len: int):
         return _slab_dma(pl, pltpu, phi_hbm, slab_ref, sem, bs, axis_len,
                          blk, slot)
 
-    @pl.when(first)
+    @pl.when(i == 0)
     def _():
+        # slot 0 first use: the first block's copy spans [2h, bs+4h) and
+        # its lo slice reads row 2h-1 — zero it before use.  When the last
+        # block is slot 1's FIRST use (nblk == 2), its hi slice reads row
+        # 2h+bs, outside its [0, bs+2h) copy — zero that too (no race:
+        # blk 1's in-flight copy never touches that row in this case).
+        slab_ref[0, 2 * h - 1] = jnp.zeros_like(slab_ref[0, 2 * h - 1])
+        if nblk == 2:
+            slab_ref[1, 2 * h + bs] = jnp.zeros_like(slab_ref[1, 2 * h + bs])
         dma(i, slot).start()
 
     @pl.when(i + 1 < nblk)
@@ -182,19 +198,9 @@ def _slab_parts(pl, pltpu, phi_hbm, slab_ref, sem, bs: int, axis_len: int):
 
     dma(i, slot).wait()
     slab = slab_ref[slot]
-    zero = jnp.zeros((1,) + slab.shape[1:], slab.dtype)
-    # slab row k holds global row start+k; block rows sit at offset
-    # off = i*bs - start in {0 (first), h (interior), 2h (last)}
-    mid = jnp.where(first, slab[0:bs],
-                    jnp.where(last, slab[2 * h:2 * h + bs],
-                              slab[h:h + bs]))
-    lo = jnp.where(first, jnp.concatenate([zero, slab[0:bs - 1]], axis=0),
-                   jnp.where(last, slab[2 * h - 1:2 * h - 1 + bs],
-                             slab[h - 1:h - 1 + bs]))
-    hi = jnp.where(last,
-                   jnp.concatenate([slab[2 * h + 1:2 * h + bs], zero], axis=0),
-                   jnp.where(first, slab[1:1 + bs],
-                             slab[h + 1:h + 1 + bs]))
+    mid = slab[2 * h:2 * h + bs]
+    lo = slab[2 * h - 1:2 * h - 1 + bs]
+    hi = slab[2 * h + 1:2 * h + 1 + bs]
     return lo, mid, hi
 
 
@@ -205,7 +211,7 @@ def _make_kernel_2d_tiled(bs: int, ny: int):
     def kernel(phi_hbm, diag_ref, w_ref, e_ref, s_ref, n_ref, out_ref,
                slab_ref, sem):
         south, phi, north = _slab_parts(pl, pltpu, phi_hbm, slab_ref, sem,
-                                        bs, ny)
+                                        bs, ny, ny // bs)
         nx = phi.shape[-1]
         zcol = jnp.zeros((bs, 1), phi.dtype)
         phi_w = jnp.concatenate([zcol, phi[:, :-1]], axis=1)
@@ -224,7 +230,7 @@ def _make_kernel_3d_tiled(bs: int, nz: int):
     def kernel(phi_hbm, diag_ref, w_ref, e_ref, s_ref, n_ref, d_ref, u_ref,
                out_ref, slab_ref, sem):
         down, phi, upv = _slab_parts(pl, pltpu, phi_hbm, slab_ref, sem,
-                                     bs, nz)
+                                     bs, nz, nz // bs)
         out_ref[:] = (_inplane_terms_2d(phi, diag_ref[:], w_ref[:], e_ref[:],
                                         s_ref[:], n_ref[:])
                       - d_ref[:] * down - u_ref[:] * upv)
@@ -251,7 +257,7 @@ def _tiled_call(kernel, phi, coeffs, bs: int, interpret: bool):
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [blockspec] * len(coeffs),
         out_specs=blockspec,
-        scratch_shapes=[pltpu.VMEM((2, bs + 2 * _HALO) + rest, phi.dtype),
+        scratch_shapes=[pltpu.VMEM((2, bs + 4 * _HALO) + rest, phi.dtype),
                         pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
     )(phi, *coeffs)
@@ -320,7 +326,7 @@ def _pick_block(n0: int, per_row_bytes: int) -> int | None:
     for bs in range(_HALO, n0 // 2 + 1, _HALO):
         if n0 % bs or bs + 2 * _HALO > n0:
             continue
-        work = (bs + 2 * _HALO) * per_row_bytes * 16
+        work = (bs + 4 * _HALO) * per_row_bytes * 16
         if work <= _VMEM_BUDGET:
             best = bs
     return best

@@ -657,7 +657,7 @@ class NavierStokesSolver:
                 probe.monitor(fields, self.ite, self.t)
 
     # ------------------------------------------------------------------
-    def run(self) -> None:
+    def run(self, progress: bool = False) -> None:
         """main-loop convenience (applications/navierstokes/main.cpp:45-78).
         Steps run in steps_per_dispatch chunks wherever no host event
         (save / restart / probe) falls inside the chunk."""
@@ -671,6 +671,9 @@ class NavierStokesSolver:
                 else:
                     self.advance()
                 self.write()
+                if progress and (self.ite % self.nsave == 0
+                                 or self.finished()):
+                    print(f"[time step {self.ite}] t = {self.t:.6g}")
         finally:
             # crash-safe logging: a mid-run exception (including a solver-
             # divergence abort) still lands every buffered per-step record

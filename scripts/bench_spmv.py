@@ -42,17 +42,24 @@ def _chained(fn):
     return run
 
 
+def _sync(x) -> float:
+    """Honest completion barrier: over the relayed TPU block_until_ready
+    acks before execution finishes; only a value transfer really syncs."""
+    return float(jax.device_get(x.ravel()[0]))
+
+
 def stream_bw_bytes_per_s(dtype=jnp.float32, repeats=5, shape=(4096, 4096)):
     """Measured HBM bandwidth via a chained x = 2x + y stream (reads x,y;
     writes x each iteration) over a fixed 64 MB working set — large enough
     to saturate the memory system regardless of the case size."""
     y = jnp.ones(shape, dtype) * 1e-9
     run = _chained(lambda x: 2.0 * x + y)
-    x = run(jnp.zeros(shape, dtype)).block_until_ready()
+    x = run(jnp.zeros(shape, dtype))
+    _sync(x)
     t0 = time.perf_counter()
     for _ in range(repeats):
         x = run(x)
-    x.block_until_ready()
+    _sync(x)
     dt = time.perf_counter() - t0
     nbytes = np.prod(shape) * np.dtype(dtype).itemsize
     return 3 * nbytes * CHAIN * repeats / dt
@@ -77,11 +84,12 @@ def make_level(ns, stretched=True):
 
 def bench_apply(fn, phi, repeats=5):
     run = _chained(fn)
-    out = run(phi).block_until_ready()
+    out = run(phi)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(repeats):
         out = run(out)
-    out.block_until_ready()
+    _sync(out)
     return (time.perf_counter() - t0) / (repeats * CHAIN)
 
 
@@ -90,12 +98,16 @@ def main():
     results = []
     bw = stream_bw_bytes_per_s()
     for name, ns in (("450sq_stretched", (450, 450)),
-                     ("1024sq_uniform", (1024, 1024))):
+                     ("1024sq_uniform", (1024, 1024)),
+                     ("2048sq_uniform", (2048, 2048)),
+                     ("64cube_uniform", (64, 64, 64)),
+                     ("sphere3d_stretched", (160, 130, 130))):
         mg, phi = make_level(ns, stretched="stretched" in name)
         ncells = int(np.prod(ns))
-        nnz = 5 * ncells  # 5-point stencil rows
-        # streamed bytes: phi + out + 5 coefficient arrays, f32
-        bytes_per_apply = 7 * ncells * 4
+        pts = 2 * len(ns) + 1  # 5-point (2D) / 7-point (3D) rows
+        nnz = pts * ncells
+        # streamed bytes: phi + out + (2*dim+1) coefficient arrays, f32
+        bytes_per_apply = (pts + 2) * ncells * 4
         sol_nnz_s = bw * nnz / bytes_per_apply
 
         xla_apply = jax.jit(lambda p: mg.apply_op(0, p))
@@ -106,6 +118,15 @@ def main():
         fused = make_pallas_poisson(mg, tiled=True)
         t_pl = bench_apply(jax.jit(fused), phi) if fused is not None else None
 
+        if fused is None:
+            results.append({
+                "metric": f"poisson_spmv_{name}_pallas",
+                "value": None, "unit": "Gnnz/s",
+                "detail": {"declined": "no kernel applies (whole-array "
+                           "exceeds VMEM and no viable double-buffered "
+                           "slab split fits the budget); XLA streaming "
+                           "stencil is used instead"},
+            })
         for label, t in (("xla", t_xla), ("pallas", t_pl)):
             if t is None:
                 continue

@@ -1,0 +1,79 @@
+"""Render VALIDATION.md from the recorded validation/*.json results
+(produced by scripts/validate_forces.py; see tests/test_validation.py for
+the asserted brackets)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+HEADER = """# VALIDATION — recorded physics results
+
+Force-coefficient validation of the BASELINE.md parity cases, produced by
+`python scripts/validate_forces.py <case>` (each case runs the full solver
+end-to-end and reduces its forces log).  `tests/test_validation.py` asserts
+these recorded numbers against the published brackets on every test run,
+and the `-m slow` tier re-runs the cases from scratch.
+
+Reference evidence being matched: `doc/markdowns/examples2d.md:78-136`
+(drag vs Koumoutsakos & Leonard 1995), the oscillating-cylinder api
+example (Dutsch et al. 1998), and the 3D sphere (Johnson & Patel 1999).
+"""
+
+ROWS = [
+    ("re40", "Cylinder Re=40 (decoupled IBPM, 186^2 stretched)",
+     "Cd(t=20) = 1.5-1.6 (Koumoutsakos & Leonard 1995)",
+     lambda r: f"Cd(t={r['t_final']:g}) = {r['cd_final']}"),
+    ("re200", "Cylinder Re=200 (decoupled IBPM, 450^2 stretched)",
+     "mean Cd ~ 1.25-1.45, Cl amp ~ 0.55-0.75, St ~ 0.19-0.21 "
+     "(Braza et al. 1986; Liu et al. 1998)",
+     lambda r: (f"mean Cd = {r['cd_mean']}, Cl amp = {r['cl_amp']}, "
+                f"St = {r['strouhal']} (to t={r['t_final']:g})")),
+    ("oscillating", "In-line oscillating cylinder Re=100 KC=5 "
+     "(rigid kinematics, 512^2)",
+     "Morison fit CD ~ 2.09, CM ~ 1.45 (Dutsch et al. 1998)",
+     lambda r: f"CD = {r['cd_morison']}, CM = {r['cm_morison']}"),
+    ("sphere300", "Sphere Re=300 (decoupled IBPM, 160x130x130, 3D)",
+     "Cd ~ 0.63-0.68, Cl ~ 0.04-0.09 (Johnson & Patel 1999)",
+     lambda r: f"mean Cd = {r['cd_mean']}, mean |Cl| = {r['cl_mean']}"),
+]
+
+
+def main() -> int:
+    lines = [HEADER]
+    lines.append("| Case | Published target | Result | Pass | Steps | "
+                 "Platform | ms/step |")
+    lines.append("|---|---|---|---|---|---|---|")
+    for case, title, target, fmt in ROWS:
+        path = os.path.join(REPO, "validation", f"{case}.json")
+        if not os.path.isfile(path):
+            lines.append(f"| {title} | {target} | _not yet recorded_ "
+                         f"(`scripts/validate_forces.py {case}`) | — | — |"
+                         " — | — |")
+            continue
+        with open(path) as fh:
+            r = json.load(fh)
+        d = r.get("detail", {})
+        lines.append(
+            f"| {title} | {target} | {fmt(r)} | "
+            f"{'PASS' if r.get('pass') else 'FAIL'} | {d.get('steps')} | "
+            f"{d.get('platform')} ({d.get('device', '?')}) | "
+            f"{d.get('ms_per_step')} |")
+    lines.append("")
+    lines.append("Raw records: `validation/<case>.json`.  Cavity Re=100 "
+                 "vs Ghia et al. 1982 and the Taylor-Green analytic decay "
+                 "are asserted numerically in the default test suite "
+                 "(`tests/test_navierstokes.py::test_cavity_ghia_validation`, "
+                 "`tests/test_physics.py`).")
+    out = os.path.join(REPO, "VALIDATION.md")
+    with open(out, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
