@@ -245,7 +245,9 @@ class PoissonMG:
         def tolast(a):
             return jnp.moveaxis(a, axis, -1)
 
-        if self.use_pcr:
+        if self.use_pcr or jnp.dtype(phi.dtype).itemsize < 4:
+            # the pure-jnp PCR path is dtype-agnostic; the LAPACK-backed
+            # CPU solver below supports only f32/f64
             x = tridiag_solve_pcr(tolast(dl), tolast(diag), tolast(du),
                                   tolast(b))
         else:

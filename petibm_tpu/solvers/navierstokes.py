@@ -305,6 +305,11 @@ class NavierStokesSolver:
                 self._negA_p = fused
                 # the V-cycle's level-0 residual is the same operator
                 self.poisson_mg.set_fused_apply(fused)
+            mg_lp = getattr(self, "poisson_mg_lp", None)
+            if mg_lp is not None:
+                fused_lp = make_pallas_poisson(mg_lp)
+                if fused_lp is not None:
+                    mg_lp.set_fused_apply(fused_lp)
 
         self.p_solver = make_solver(negA_p, popts, M=M_p)
 
@@ -321,13 +326,39 @@ class NavierStokesSolver:
             mg_params = self.config.get("parameters", {}).get("mg", {}) or {}
             # V(1,1) default: measured ~20% faster end-to-end than V(2,2)
             # at equal converged residuals (CG absorbs the weaker cycle)
-            self.poisson_mg = PoissonMG(
-                self.mesh.dxp, self.mesh.periodic, dtype=self.dtype,
+            mg_knobs = dict(
                 scale=self.dt,
                 pre=int(mg_params.get("pre", 1)),
                 post=int(mg_params.get("post", 1)),
                 omega=float(mg_params.get("omega", 1.0)),
                 coarse_sweeps=int(mg_params.get("coarseSweeps", 10)))
+            self.poisson_mg = PoissonMG(
+                self.mesh.dxp, self.mesh.periodic, dtype=self.dtype,
+                **mg_knobs)
+            # mixed-precision V-cycle (mg: {dtype: bfloat16}): the CG
+            # operator and solution stay in the solver dtype — only the
+            # preconditioner's coefficient streams and smoother math run
+            # in the lower precision, roughly halving the V-cycle's HBM
+            # traffic.  Preconditioner accuracy only affects the CG
+            # iteration count, not the converged solution.
+            lp = mg_params.get("dtype")
+            if lp and jnp.dtype(lp) != self.dtype:
+                lp_dtype = jnp.dtype(lp)
+                self.poisson_mg_lp = PoissonMG(
+                    self.mesh.dxp, self.mesh.periodic, dtype=lp_dtype,
+                    **mg_knobs)
+                mg_lp, remove_mean = self.poisson_mg_lp, not self.is_ref_p
+                out_dtype = self.dtype
+
+                def M(r):
+                    # nullspace means in full precision: a low-precision
+                    # sum over the whole grid would be garbage
+                    if remove_mean:
+                        r = r - jnp.mean(r)
+                    out = mg_lp.vcycle(0, r.astype(lp_dtype)).astype(out_dtype)
+                    return out - jnp.mean(out) if remove_mean else out
+
+                return M
             return self.poisson_mg.preconditioner(
                 remove_mean=not self.is_ref_p)
         diag_p = extract_diagonal(

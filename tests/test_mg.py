@@ -2,6 +2,8 @@
 vs Jacobi-CG, correctness vs the matrix-free Poisson operator, periodic
 and stretched grids, odd sizes, 3D."""
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -138,3 +140,41 @@ def test_mgcg_odd_size_3d():
     res = cg(negA, b, jnp.zeros_like(b), M=mg.preconditioner(),
              atol=1e-8, rtol=0.0, maxiter=100)
     assert bool(res.converged) and int(res.iters) <= 15
+
+
+def test_mixed_precision_vcycle_preconditioner(tmp_path):
+    """mg: {dtype: bfloat16} runs the V-cycle in bf16 while CG stays in the
+    solver dtype: the converged solution matches the full-precision
+    preconditioner (preconditioning affects iteration count only)."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(__file__))
+    from test_navierstokes import run_config
+    from petibm_tpu.solvers.navierstokes import NavierStokesSolver
+
+    cfg_a = run_config(tmp_path / "a", nt=10)
+    cfg_a["parameters"]["dtype"] = "float32"
+    cfg_b = run_config(tmp_path / "b", nt=10)
+    cfg_b["parameters"]["dtype"] = "float32"
+    cfg_b["parameters"]["mg"] = {"dtype": "bfloat16"}
+    for d in ("a", "b"):
+        os.makedirs(tmp_path / d, exist_ok=True)
+    sa = NavierStokesSolver(cfg_a)
+    sb = NavierStokesSolver(cfg_b)
+    assert getattr(sb, "poisson_mg_lp", None) is not None
+    assert sb.poisson_mg_lp.dtype == jnp.bfloat16
+    for _ in range(10):
+        sa.state, stats_a = sa._step_fn(sa.state)
+        sb.state, stats_b = sb._step_fn(sb.state)
+    import jax
+
+    stats_a, stats_b = jax.device_get((stats_a, stats_b))
+    assert bool(stats_b["p_ok"])  # bf16 cycle still converges the f32 CG
+    # same operator, same tolerance -> same physics
+    np.testing.assert_allclose(np.asarray(sb.state["p"]),
+                               np.asarray(sa.state["p"]),
+                               rtol=0, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(sb.state["q"]["u"]),
+                               np.asarray(sa.state["q"]["u"]),
+                               rtol=0, atol=5e-6)
+    sa.close(), sb.close()

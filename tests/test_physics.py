@@ -121,3 +121,28 @@ def test_cavity3d_vorticity_and_probe(tmp_path):
     assert set(w) == {"wx", "wy", "wz"}
     assert w["wx"].shape == (13, 13, 12)
     assert np.loadtxt(tmp_path / "output" / "pw.txt").shape == (3, 2)
+
+
+def test_taylor_green_spatial_convergence(tmp_path):
+    """Observed order of accuracy ~2 between 16^2 and 32^2 (the reference's
+    two-resolution convergence example,
+    examples/navierstokes/convergence/liddrivencavity2dRe100_{20,30});
+    dt is small enough that spatial error dominates."""
+    errs = []
+    for i, n in enumerate((16, 32)):
+        d = tmp_path / f"n{n}"
+        d.mkdir()
+        cfg = tgv_config(d, n=n, nt=100)
+        cfg["parameters"]["dt"] = 0.002
+        solver = NavierStokesSolver(cfg)
+        solver.run()
+        solver.close()
+        t, nu = 100 * 0.002, 0.01
+        decay = np.exp(-2 * nu * t)
+        mesh = solver.mesh
+        xu = mesh.bcast(Field.U, 0, mesh.coord(Field.U, 0))
+        yu = mesh.bcast(Field.U, 1, mesh.coord(Field.U, 1))
+        u_exact = np.cos(xu) * np.sin(yu) * decay
+        errs.append(np.abs(np.asarray(solver.state["q"]["u"]) - u_exact).max())
+    order = np.log2(errs[0] / errs[1])
+    assert order > 1.7, f"observed order {order:.2f} (errors {errs})"
