@@ -112,10 +112,14 @@ def case_re40(args) -> None:
 def case_re200(args) -> None:
     from petibm_tpu.solvers.decoupledibpm import DecoupledIBPMSolver
 
-    nt = args.nt or 60000  # dt 0.0025 -> t = 150: developed shedding
+    nt = args.nt or 48000  # dt 0.0025 -> t = 120: developed shedding
     cfg = load_case("cylinder2dRe200", {
-        "nt": nt, "nsave": 10000, "nrestart": 1000000,
+        "nt": nt, "nsave": 8000, "nrestart": 1000000,
         "dtype": args.dtype, "stepsPerDispatch": args.chunk})
+    # a small v-pulse near the body breaks the y mirror symmetry so
+    # vortex shedding onsets early; the transient washes out and the
+    # late-time statistics reported below are IC-independent
+    cfg["flow"]["initialVelocity"] = [1.0, "0.1*exp(-(x*x + y*y))"]
     solver, setup_s, run_s = run(cfg, DecoupledIBPMSolver)
     data = read_forces(cfg["output"])
     t, cd, cl = data[:, 0], 2 * data[:, 1], 2 * data[:, 2]

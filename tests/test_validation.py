@@ -99,3 +99,26 @@ def test_oscillating_cylinder_morison_full_run():
         r = json.load(fh)
     assert 1.8 <= r["cd_morison"] <= 2.4, r
     assert 1.15 <= r["cm_morison"] <= 1.75, r
+
+
+@pytest.mark.slow
+def test_cavity_re1000_ghia_centerlines():
+    """Lid-driven cavity Re=1000 (the reference's
+    examples/navierstokes/liddrivencavity2dRe1000) vs Ghia et al. (1982)
+    centerline profiles via scripts/validate_cavity.py."""
+    import subprocess
+
+    case = os.path.join(REPO, "examples", "navierstokes",
+                        "liddrivencavity2dRe1000")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               PYTHONPATH=REPO)
+    run = subprocess.run(
+        [sys.executable, "-m", "petibm_tpu.cli.navierstokes",
+         "--directory", case],
+        env=env, capture_output=True, text=True, timeout=3600)
+    assert run.returncode == 0, run.stderr[-2000:]
+    check = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "validate_cavity.py"),
+         "-directory", case, "--re", "1000", "--tol", "0.03"],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert check.returncode == 0, check.stdout + check.stderr
