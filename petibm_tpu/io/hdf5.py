@@ -101,5 +101,8 @@ def read_restart_histories(path: str, dim: int, shapes: dict, n_conv: int,
         for i in range(n_diff):
             diff.append(_unpack(np.asarray(fh[f"diffusion/{i}"]), shapes))
         for name in extra_names:
-            extra[name] = np.asarray(fh[f"{name}/0"])
+            # tolerate files from older runs / the reference layout that
+            # lack native extras (dP, force, BC ghost state)
+            if name in fh:
+                extra[name] = np.asarray(fh[f"{name}/0"])
     return conv, diff, extra

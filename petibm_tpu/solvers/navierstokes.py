@@ -571,10 +571,16 @@ class NavierStokesSolver:
             extra=self._restart_extra())
 
     def _restart_extra(self) -> dict:
-        # dP is a native extension to the reference layout: it restores the
-        # warm-start state so restarted runs reproduce continuous runs
-        # exactly; reference readers ignore the extra group
-        return {"dP": self.state["dP"]}
+        # native extensions to the reference layout (reference readers
+        # ignore the extra groups): dP restores the warm-start state, and
+        # the per-face BC ghost state (a1/value) makes restarts exact even
+        # with convective BCs — the reference only re-initializes those and
+        # carries a TODO about it (navierstokes.cpp:742)
+        extra = {"dP": self.state["dP"]}
+        for key, st in self.state["bc"].items():
+            extra[f"bc_{key}_a1"] = st["a1"]
+            extra[f"bc_{key}_value"] = st["value"]
+        return extra
 
     def read_restart_data_hdf5(self, path: str) -> None:
         names = [VEL_NAMES[c] for c in range(self.mesh.dim)] + ["p"]
@@ -592,15 +598,26 @@ class NavierStokesSolver:
             {k: jnp.asarray(v, self.dtype) for k, v in h.items()} for h in conv)
         self.state["diff"] = tuple(
             {k: jnp.asarray(v, self.dtype) for k, v in h.items()} for h in diff)
-        self._read_restart_extra(extra)
-        # TODO(reference parity): like the reference (navierstokes.cpp:742),
-        # convective-BC ghost state is re-initialized, not restored exactly.
+        # default ghost state (what the reference does, navierstokes.cpp:742)
+        # — then _read_restart_extra overrides it with the saved a1/value
+        # when the file carries them, making convective-BC restarts exact
         self.state["bc"] = self.bc.init_state(q, self.dtype)
+        self._read_restart_extra(extra)
 
     def _read_restart_extra(self, extra: dict) -> None:
         if "dP" in extra:
             self.state["dP"] = jnp.asarray(
                 extra["dP"].reshape(self.mesh.shape(Field.P)), self.dtype)
+        bcstate = dict(self.state["bc"])
+        for key, st in bcstate.items():
+            a1 = extra.get(f"bc_{key}_a1")
+            val = extra.get(f"bc_{key}_value")
+            if a1 is not None and val is not None:
+                bcstate[key] = {
+                    "a1": jnp.asarray(a1.reshape(st["a1"].shape), self.dtype),
+                    "value": jnp.asarray(val.reshape(st["value"].shape),
+                                         self.dtype)}
+        self.state["bc"] = bcstate
 
     # ------------------------------------------------------------------
     def write(self) -> None:

@@ -360,3 +360,40 @@ def test_dense_opt_out_uses_krylov(tmp_path):
     solver.advance()
     stats = jax.device_get(solver._last_stats)
     assert int(stats["f_iters"]) > 0  # Krylov path iterates
+
+
+def test_restart_exact_with_convective_bc(tmp_path):
+    """Restart must reproduce the continuous run bit-exactly INCLUDING
+    convective-BC ghost state — the reference only re-initializes it and
+    carries a TODO (navierstokes.cpp:742); here a1/value are saved in the
+    restart extras."""
+    cfg = ib_config(tmp_path, nt=6)
+    cfg["parameters"]["nsave"] = 3
+    cfg["parameters"]["nrestart"] = 3
+    solver = DecoupledIBPMSolver(cfg)
+    solver.run()
+    cont = jax.device_get(solver.state)
+    solver.close()
+
+    cfg2 = ib_config(tmp_path, nt=3)  # nt counts steps from startStep
+    cfg2["parameters"]["nsave"] = 3
+    cfg2["parameters"]["nrestart"] = 3
+    cfg2["parameters"]["startStep"] = 3
+    restarted = DecoupledIBPMSolver(cfg2)
+    restarted.run()
+    rest = jax.device_get(restarted.state)
+    restarted.close()
+
+    for name in ("u", "v"):
+        np.testing.assert_array_equal(np.asarray(rest["q"][name]),
+                                      np.asarray(cont["q"][name]))
+    np.testing.assert_array_equal(np.asarray(rest["p"]),
+                                  np.asarray(cont["p"]))
+    np.testing.assert_array_equal(np.asarray(rest["f"]),
+                                  np.asarray(cont["f"]))
+    # the BC ghost state itself round-trips exactly
+    for key in cont["bc"]:
+        for part in ("a1", "value"):
+            np.testing.assert_array_equal(
+                np.asarray(rest["bc"][key][part]),
+                np.asarray(cont["bc"][key][part]))
