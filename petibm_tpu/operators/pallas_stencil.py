@@ -318,15 +318,21 @@ def dia_coefficients_2d(mg_level):
     return dia_coefficients(mg_level)
 
 
-def _pick_block(n0: int, per_row_bytes: int) -> int | None:
+def _pick_block(n0: int, per_row_bytes: int, ncoeffs: int) -> int | None:
     """Largest 8-multiple divisor bs of n0 with 2+ blocks, a full slab
-    (bs + 2*_HALO <= n0), and a working set (slab + ~2x double-buffered
-    coefficient blocks + out) within the budget; None if none works."""
+    (bs + 2*_HALO <= n0), and the kernel's actual VMEM working set within
+    the budget; None if none works.
+
+    The working set mirrors _tiled_call's allocations: the 2-slot slab
+    scratch of (bs + 4h) rows each, plus the Pallas pipeline's
+    double-buffered blocks for the ncoeffs coefficient inputs and the
+    output (2 x (ncoeffs + 1) x bs rows)."""
     best = None
     for bs in range(_HALO, n0 // 2 + 1, _HALO):
         if n0 % bs or bs + 2 * _HALO > n0:
             continue
-        work = (bs + 4 * _HALO) * per_row_bytes * 16
+        work = (2 * (bs + 4 * _HALO)
+                + 2 * (ncoeffs + 1) * bs) * per_row_bytes
         if work <= _VMEM_BUDGET:
             best = bs
     return best
@@ -363,7 +369,7 @@ def make_pallas_poisson(mg, interpret: bool | None = None,
         return None  # XLA's fused stencil is faster for streaming sizes
     n0 = level.shape[0]
     per_row = math.prod(level.shape[1:]) * itemsize
-    bs = _pick_block(n0, per_row)
+    bs = _pick_block(n0, per_row, len(coeffs))
     if bs is None:
         return None
     apply_tiled = (poisson_apply_2d_tiled if dim == 2
