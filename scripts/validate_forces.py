@@ -166,6 +166,13 @@ def case_oscillating(args) -> None:
     ts, fs = t[sel], fx[sel]
     u = -Um * np.cos(2 * np.pi * f * ts)
     dudt = Um * 2 * np.pi * f * np.sin(2 * np.pi * f * ts)
+    # internal-fluid inertia correction: the Lagrangian force sum includes
+    # accelerating the fictitious fluid inside the body, so add rho*V*a_body
+    # before reducing — exactly what the reference's own postprocessing does
+    # (examples/api_examples/oscillatingcylinder2dRe100_GPU/scripts/
+    # plotDragCoefficient.py:31-33, "Add force due to body acceleration");
+    # without it CM comes out high by ~V/(pi D^2/4) = 1.0
+    fs = fs + np.pi * D**2 / 4 * dudt
     basis = np.stack([-0.5 * D * np.abs(u) * u,
                       -np.pi * D**2 / 4 * dudt], axis=1)
     (cd_fit, cm_fit), *_ = np.linalg.lstsq(basis, fs, rcond=None)
