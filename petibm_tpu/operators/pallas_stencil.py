@@ -285,7 +285,7 @@ def _broadcast_pair(level, d: int, shape):
     sliced to cells, domain-edge entries zeroed for non-periodic walls."""
     dim = len(shape)
     axis = dim - 1 - d
-    c = level.face_coeff[d]
+    c = level.coeff(d)
     sl_lo = [slice(None)] * c.ndim
     sl_lo[axis] = slice(0, -1)
     sl_hi = [slice(None)] * c.ndim
@@ -307,7 +307,7 @@ def dia_coefficients(level):
     (diag, w, e, s, n[, down, up]) in (z, y, x) layout."""
     shape = level.shape
     dim = len(shape)
-    out = [jnp.broadcast_to(level.diag, shape)]
+    out = [level.diag_full()]
     for d in range(dim):  # x, y[, z] -> (w,e), (s,n)[, (down,up)]
         out.extend(_broadcast_pair(level, d, shape))
     return tuple(out)

@@ -106,8 +106,12 @@ def main():
         ncells = int(np.prod(ns))
         pts = 2 * len(ns) + 1  # 5-point (2D) / 7-point (3D) rows
         nnz = pts * ncells
-        # streamed bytes: phi + out + (2*dim+1) coefficient arrays, f32
-        bytes_per_apply = (pts + 2) * ncells * 4
+        # mandatory streamed bytes: phi + out only — the operator factors
+        # are separable 1D vectors (linalg/mg.py _Level), so the dense
+        # coefficients cost no HBM traffic in the fused XLA formulation.
+        # (The DIA Pallas kernels stream pts+2 dense arrays instead; their
+        # per-format bound is bw*nnz/((pts+2)*ncells*4).)
+        bytes_per_apply = 2 * ncells * 4
         sol_nnz_s = bw * nnz / bytes_per_apply
 
         xla_apply = jax.jit(lambda p: mg.apply_op(0, p))
