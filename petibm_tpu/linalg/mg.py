@@ -226,19 +226,33 @@ class PoissonMG:
             # fully-fused sweep: coupling build + rescaled PCR + damped
             # update in ONE kernel — phi and rhs are the only dense HBM
             # reads, the updated phi the only write (pallas_sweep.py)
-            from .pallas_sweep import (fused_sweep, sweep_aux,
+            from .pallas_sweep import (fused_sweep, fused_sweep_blocked,
+                                       pick_sweep_block, sweep_aux,
                                        sweep_fits_vmem)
 
-            if sweep_fits_vmem(phi.shape, phi.dtype):
-                key = (lvl, d)
+            def aux_for(key_lvl, key_d):
                 cache = getattr(self, "_sweep_aux_cache", None)
                 if cache is None:
                     cache = self._sweep_aux_cache = {}
-                if key not in cache:
-                    cache[key] = sweep_aux(level, d, self.dtype)
-                return fused_sweep(phi, rhs, cache[key], line_axis=axis,
-                                   omega=self.omega,
+                if (key_lvl, key_d) not in cache:
+                    cache[(key_lvl, key_d)] = sweep_aux(
+                        self.levels[key_lvl], key_d, self.dtype)
+                return cache[(key_lvl, key_d)]
+
+            if sweep_fits_vmem(phi.shape, phi.dtype):
+                return fused_sweep(phi, rhs, aux_for(lvl, d),
+                                   line_axis=axis, omega=self.omega,
                                    interpret=self._pallas_interpret)
+            pb = pick_sweep_block(phi.shape, axis, phi.dtype)
+            if pb is not None:
+                # batch gridded into blocks; the block axis' coupling is
+                # folded into the RHS by one fused XLA streaming pass
+                ba, bs = pb
+                b1 = rhs + self._coupling(lvl, phi, self.dim - 1 - ba)
+                return fused_sweep_blocked(
+                    phi, b1, aux_for(lvl, d), line_axis=axis,
+                    block_axis=ba, bs=bs, omega=self.omega,
+                    interpret=self._pallas_interpret)
         # off-line couplings (other directions + this direction's wrap) to RHS
         b = rhs
         for dp in range(self.dim):

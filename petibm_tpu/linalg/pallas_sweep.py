@@ -170,3 +170,117 @@ def sweep_fits_vmem(shape, dtype, budget: int = 8 * 1024 * 1024) -> bool:
     """Live set ~ phi, rhs, b, diag + PCR's a, b, c, d and shifted
     temporaries — same order as the plain PCR kernel plus two."""
     return 10 * math.prod(shape) * jnp.dtype(dtype).itemsize <= budget
+
+
+# ----------------------------------------------------------------------
+# blocked variant for levels too large for one VMEM-resident kernel
+# (the 3D finest levels).  The batch is gridded along one non-line axis;
+# that axis' coupling needs neighbor values across block boundaries, so
+# the caller precomputes b1 = rhs + area_ba * couple_ba(phi) in XLA (one
+# fused streaming pass) and the kernel fuses the remaining coupling, the
+# rescaled PCR, and the damped update.  HBM round trips: ~6 dense-array
+# transfers vs ~10 unfused (phi+rhs+b1 in the XLA pass; phi+b1+out here).
+
+
+def _make_blocked_kernel(ndim: int, line_axis: int, in_axes: tuple,
+                         n_line: int, omega: float):
+    """Kernel over one batch block: operands (phi, b1, a_lo, c_hi,
+    diag_line, w_line, inv_area, s_batch, [c_lo_e, c_hi_e, inv_w_e] for
+    each in-kernel coupling axis in ``in_axes``, out)."""
+
+    def kernel(*refs):
+        phi = refs[0][:]
+        b1 = refs[1][:]
+        a_lo, c_hi, diag_line, w_line, inv_area, s_batch = (
+            r[:] for r in refs[2:8])
+        out_ref = refs[-1]
+
+        b = b1 * inv_area
+        for j, e_axis in enumerate(in_axes):
+            c_lo = refs[8 + 3 * j][:]
+            c_hi_e = refs[9 + 3 * j][:]
+            inv_w = refs[10 + 3 * j][:]
+            neg_e = e_axis - ndim
+            couple = (c_lo * _shift(phi, 1, neg_e, 0.0)
+                      + c_hi_e * _shift(phi, -1, neg_e, 0.0))
+            b = b + (w_line * inv_w) * couple
+        diag = diag_line + w_line * s_batch
+        x = _pcr(jnp.broadcast_to(a_lo, phi.shape), diag,
+                 jnp.broadcast_to(c_hi, phi.shape), b, n_line,
+                 line_axis - ndim)
+        out_ref[:] = phi + omega * (x - phi)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("line_axis", "block_axis",
+                                             "bs", "omega", "interpret"))
+def fused_sweep_blocked(phi, b1, aux, line_axis: int, block_axis: int,
+                        bs: int, omega: float, interpret: bool = False):
+    """Blocked fused sweep: ``b1`` must already contain rhs plus the
+    *block axis'* area-weighted coupling (PoissonMG._coupling); ``aux``
+    from :func:`sweep_aux` — the block axis' coupling triple is ignored.
+
+    Partial edge blocks are allowed (grid = ceil(n/bs)): out-of-bounds
+    lanes/rows hold unspecified values, but every tridiagonal line lies
+    entirely inside or outside the valid region, so garbage never crosses
+    into stored results (out-of-bounds writes are masked)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ndim = phi.ndim
+    line_axis = line_axis % ndim
+    block_axis = block_axis % ndim
+    assert block_axis != line_axis
+    # aux order (see fused_sweep): descending array axes excluding line
+    other_axes = tuple(ax for ax in reversed(range(ndim))
+                       if ax != line_axis)
+    head, extras = aux[:6], aux[6:]
+    in_axes, in_extras = [], []
+    for j, e_axis in enumerate(other_axes):
+        if e_axis != block_axis:
+            in_axes.append(e_axis)
+            in_extras += extras[3 * j:3 * j + 3]
+    operands = [phi, b1] + head + in_extras
+    nblk = -(-phi.shape[block_axis] // bs)  # ceil
+
+    def spec_for(arr):
+        shape = tuple(bs if ax == block_axis and arr.shape[ax] > 1
+                      else arr.shape[ax] for ax in range(ndim))
+
+        def index_map(i, shape_=arr.shape):
+            return tuple(i if ax == block_axis and shape_[ax] > 1 else 0
+                         for ax in range(ndim))
+
+        return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
+
+    kernel = _make_blocked_kernel(ndim, line_axis, tuple(in_axes),
+                                  phi.shape[line_axis], omega)
+    return pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        out_shape=jax.ShapeDtypeStruct(phi.shape, phi.dtype),
+        in_specs=[spec_for(a) for a in operands],
+        out_specs=spec_for(phi),
+        compiler_params=_params(pltpu),
+        interpret=interpret,
+    )(*operands)
+
+
+def pick_sweep_block(shape, line_axis: int, dtype,
+                     budget: int = 8 * 1024 * 1024):
+    """(block_axis, bs) for :func:`fused_sweep_blocked`, or None.
+
+    Blocks along axis 0 when it is not the line axis (untiled for 3D
+    arrays — no alignment constraints), else axis 1.  bs sizes the
+    kernel's live set (~13 block-sized arrays + pipeline double
+    buffering) into the budget."""
+    ndim = len(shape)
+    line_axis = line_axis % ndim
+    block_axis = 0 if line_axis != 0 else 1
+    per = (19 * math.prod(shape) * jnp.dtype(dtype).itemsize
+           // shape[block_axis])
+    bs = min(shape[block_axis] // 2, max(1, budget // max(per, 1)))
+    if bs < 1 or shape[block_axis] // bs < 2:
+        return None
+    return block_axis, bs

@@ -49,6 +49,38 @@ def test_fused_smooth_and_vcycle_match(ns=[40, 24]):
                                rtol=1e-8, atol=1e-10)
 
 
+@pytest.mark.parametrize("ns", [[16, 12, 24], [13, 10, 24]])
+def test_blocked_fused_sweep_matches_unfused(monkeypatch, ns):
+    """Too-large-for-VMEM dispatch: partial-b + blocked kernel, including
+    non-divisible (partial edge) blocks and every line direction."""
+    import petibm_tpu.linalg.pallas_sweep as psw
+
+    mg, phi, rhs = _mg(ns)
+    want = []
+    mg.use_pcr = False
+    mg._pallas_interpret = False
+    for d in range(len(ns)):
+        want.append(np.asarray(mg._line_sweep(0, phi, rhs, d)))
+
+    with monkeypatch.context() as mp:
+        mp.setattr(psw, "sweep_fits_vmem", lambda *a, **k: False)
+        orig_pick = psw.pick_sweep_block
+
+        def tiny_pick(shape, line_axis, dtype, budget=None):
+            got = orig_pick(shape, line_axis, dtype)
+            assert got is not None
+            ba, _ = got
+            return ba, 5  # partial edge block for the 13/12-extent axes
+        mp.setattr(psw, "pick_sweep_block", tiny_pick)
+        # mg imports names inside _line_sweep, so patch the module attrs
+        mg.use_pcr = True
+        mg._pallas_interpret = True
+        for d in range(len(ns)):
+            got = np.asarray(mg._line_sweep(0, phi, rhs, d))
+            np.testing.assert_allclose(got, want[d], rtol=1e-9, atol=1e-11,
+                                       err_msg=f"direction {d}")
+
+
 def test_fused_sweep_declines_periodic():
     """Periodic directions must take the unfused path (cyclic systems)."""
     rng = np.random.default_rng(0)
