@@ -38,6 +38,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .pallas_pcr import _params, _shift
 
@@ -79,11 +80,14 @@ def sweep_aux(level, d: int, dtype):
     """
     ndim = len(level.shape)
 
+    # All math in host numpy: this runs lazily from inside jit traces
+    # (PoissonMG caches the result), and any jnp op issued while a trace
+    # is active would join that trace and leak tracers into the cache.
     def bcast(vec, direction):
-        return jnp.asarray(vec, dtype).reshape(
-            level._bshape(direction, len(vec)))
+        a = np.asarray(vec, np.float64)
+        return a.reshape(level._bshape(direction, len(a)))
 
-    c_d = level.c1d[d]
+    c_d = np.asarray(level.c1d[d], np.float64)  # (n+1,) face coefficients
     # wall entries of c1d are zero for non-periodic directions, so
     # a_lo[0] = c_hi[-1] = 0 as the PCR convention requires
     a_lo = bcast(-c_d[:-1], d)
@@ -97,8 +101,8 @@ def sweep_aux(level, d: int, dtype):
     for e in range(ndim):
         if e == d:
             continue
-        w_e = level.w1d[e]
-        c_e = level.c1d[e]
+        w_e = np.asarray(level.w1d[e], np.float64)
+        c_e = np.asarray(level.c1d[e], np.float64)
         inv_w = bcast(1.0 / w_e, e)
         inv_area = inv_w if inv_area is None else inv_area * inv_w
         a_e = bcast((c_e[:-1] + c_e[1:]) / w_e, e)
@@ -106,7 +110,9 @@ def sweep_aux(level, d: int, dtype):
         # couple_e(phi)[k] = c_e[k] * phi[k-1] + c_e[k+1] * phi[k+1];
         # wall entries of c1d are already zero for non-periodic directions
         extras += [bcast(c_e[:-1], e), bcast(c_e[1:], e), inv_w]
-    return [a_lo, c_hi, diag_line, w_line, inv_area, s_batch] + extras
+    npdt = np.dtype(dtype)
+    return [np.ascontiguousarray(a.astype(npdt)) for a in
+            [a_lo, c_hi, diag_line, w_line, inv_area, s_batch] + extras]
 
 
 def _make_sweep_kernel(ndim: int, line_axis: int, other_axes: tuple,
