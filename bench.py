@@ -122,14 +122,17 @@ def main() -> int:
     t_apply = bench_apply(solver._negA_p, phi)
     ncells = int(phi.size)
     nnz = 5 * ncells  # 5-point pressure Poisson rows
-    # DIA apply mandatory traffic: phi + out + 5 coefficient diagonals, f32
-    sol_nnz_s = bw * nnz / (7 * ncells * 4)
+    # mandatory traffic: phi + out only — the operator factors are
+    # separable 1D vectors (linalg/mg.py), so coefficients cost no HBM
+    # bytes in either the fused XLA or the separable Pallas formulation
+    sol_nnz_s = bw * nnz / (2 * ncells * 4)
     nnz_per_s = nnz / t_apply
 
-    # HBM utilization of the hot operator: mandatory DIA traffic over
+    # HBM utilization of the hot operator: mandatory traffic over
     # measured apply time, as a fraction of the measured stream bandwidth
-    # (identical to the roofline fraction — the apply is bandwidth-bound)
-    hbm_util = (7 * ncells * 4) / t_apply / bw
+    # (at 450^2 the apply is fixed-cost-bound, not bandwidth-bound — see
+    # scripts/bench_spmv.py for the sizes where the roofline binds)
+    hbm_util = (2 * ncells * 4) / t_apply / bw
     # whole-step bytes from XLA's cost model — a LOWER bound only: while
     # loop bodies (the Krylov/V-cycle iterations) are counted once
     step_util_lb = None

@@ -221,6 +221,7 @@ class PoissonMG:
         n = phi.shape[axis]
 
         if (self.use_pcr and not any(level.periodic)
+                and getattr(self, "fused_sweeps", True)
                 and (self._pallas_interpret
                      or jnp.dtype(phi.dtype).itemsize <= 4)):
             # fully-fused sweep: coupling build + rescaled PCR + damped

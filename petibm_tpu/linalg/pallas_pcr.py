@@ -127,19 +127,43 @@ def pcr_pallas_blocked(a, b, c, d, axis: int, block_axis: int, bs: int,
     )(a, b, c, d)
 
 
-def fits_vmem(shape, dtype, budget: int = 8 * 1024 * 1024) -> bool:
+_DEFAULT_BUDGET = 8 * 1024 * 1024
+_V5_BUDGET = 64 * 1024 * 1024
+
+
+def device_vmem_budget(fallback: int = _DEFAULT_BUDGET) -> int:
+    """VMEM working-set budget for kernel sizing.  The conservative 8 MB
+    default suits older TPU generations; v5e/v5p/v6e expose 112-128 MB of
+    VMEM per core (empirically: 25 MB-live kernels compile and run on
+    v5 lite), so whole-array kernels remain profitable far longer."""
+    try:
+        dev = jax.devices()[0]
+        kind = str(getattr(dev, "device_kind", "")).lower()
+        if dev.platform == "tpu" and any(
+                k in kind for k in ("v5 lite", "v5e", "v5p", "v6")):
+            return max(fallback, _V5_BUDGET)
+    except Exception:  # pragma: no cover
+        pass
+    return fallback
+
+
+def fits_vmem(shape, dtype, budget: int | None = None) -> bool:
     """Whether a whole-array PCR (4 inputs + out + temporaries) fits."""
+    if budget is None:
+        budget = device_vmem_budget()
     return 8 * math.prod(shape) * jnp.dtype(dtype).itemsize <= budget
 
 
 def pick_block(shape, axis: int, dtype,
-               budget: int = 8 * 1024 * 1024) -> tuple[int, int] | None:
+               budget: int | None = None) -> tuple[int, int] | None:
     """(block_axis, bs) gridding a too-large batch into VMEM-sized blocks.
 
     Prefers a non-lane block axis (blocking the minor-most dim below 128
     lanes wastes tile padding); among those, the largest extent.  bs is the
     largest divisor whose block fits the budget.  None if no split works.
     """
+    if budget is None:
+        budget = device_vmem_budget()
     ndim = len(shape)
     axis = axis % ndim
     # Pallas TPU blocks must keep the trailing two dims divisible by the

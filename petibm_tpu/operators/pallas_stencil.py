@@ -318,6 +318,162 @@ def dia_coefficients_2d(mg_level):
     return dia_coefficients(mg_level)
 
 
+# ----------------------------------------------------------------------
+# separable-coefficient kernels: the FV operator's dense coefficients are
+# products of 1D factors (linalg/mg.py _Level), so instead of streaming
+# 2*dim+1 dense DIA arrays the kernel rebuilds every coefficient
+# in-register from O(n) vectors.  HBM traffic: read phi, write out — the
+# 2-array mandatory minimum (the DIA kernels above stream pts+2 arrays;
+# the fused XLA formulation measures well short of roofline on large 3D).
+
+
+def separable_aux(level):
+    """Per direction d: [a_d, c_lo_d, c_hi_d, area_d] (numpy, broadcast
+    shapes).  a_d = c_d[:-1]+c_d[1:]; c_lo/c_hi the face coefficients for
+    the -/+ neighbor; area_d = prod_{e != d} w_e (batch-shaped).  Host
+    numpy so results can be cached from inside jit traces."""
+    import numpy as np
+
+    ndim = len(level.shape)
+    out = []
+    for d in range(ndim):
+        def bcast(vec, direction):
+            a = np.asarray(vec, np.float64)
+            return a.reshape(level._bshape(direction, len(a)))
+
+        c_d = np.asarray(level.c1d[d], np.float64)
+        area = None
+        for e in range(ndim):
+            if e == d:
+                continue
+            w = bcast(level.w1d[e], e)
+            area = w if area is None else area * w
+        npdt = np.dtype(level.c1d[d].dtype)
+        out += [np.ascontiguousarray(a.astype(npdt)) for a in
+                (bcast(c_d[:-1] + c_d[1:], d), bcast(c_d[:-1], d),
+                 bcast(c_d[1:], d), area)]
+    return out
+
+
+def _sep_terms(phi, aux, ndim: int, axes):
+    """sum_d area_d * (a_d*phi - c_lo_d*phi[-1 shift] - c_hi_d*phi[+1])
+    over the directions whose array axes are in ``axes`` (shift helpers
+    from the PCR kernel: static concat-based rolls)."""
+    from ..linalg.pallas_pcr import _shift
+
+    out = None
+    for d in range(ndim):
+        axis = ndim - 1 - d
+        if axis not in axes:
+            continue
+        a_d, c_lo, c_hi, area = aux[4 * d:4 * d + 4]
+        term = (a_d * phi - c_lo * _shift(phi, 1, axis - ndim, 0.0)
+                - c_hi * _shift(phi, -1, axis - ndim, 0.0))
+        term = area * term
+        out = term if out is None else out + term
+    return out
+
+
+def _make_sep_kernel_full(ndim: int):
+    def kernel(*refs):
+        phi = refs[0][:]
+        aux = [r[:] for r in refs[1:-1]]
+        refs[-1][:] = _sep_terms(phi, aux, ndim, set(range(ndim)))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def poisson_apply_separable(phi, aux, interpret=False):
+    """Whole-array separable apply (non-periodic)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..linalg.pallas_pcr import _params
+
+    return pl.pallas_call(
+        _make_sep_kernel_full(phi.ndim),
+        out_shape=jax.ShapeDtypeStruct(phi.shape, phi.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + len(aux)),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=_params(pltpu),
+        interpret=interpret,
+    )(phi, *aux)
+
+
+def _make_sep_kernel_tiled_3d(bs: int):
+    """z-blocked kernel without halos: the z term (whose coupling crosses
+    block boundaries) arrives precomputed from one fused XLA streaming
+    pass; the kernel fuses the in-plane (x, y) terms and the final sum.
+    A halo'd slab DMA would save the extra pass, but Mosaic rejects HBM
+    slices whose sublane/lane extents aren't tile-aligned (e.g. ny = 130
+    on the sphere grid), and real meshes are rarely 8/128-aligned."""
+
+    def kernel(*refs):
+        phi = refs[0][:]
+        zterm = refs[1][:]
+        aux = [r[:] for r in refs[2:10]]
+        out_ref = refs[-1]
+        out_ref[:] = zterm + _sep_terms(phi, aux, 3, {1, 2})
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("bs", "interpret"))
+def poisson_apply_separable_tiled_3d(phi, aux, bs, interpret=False):
+    """Blocked separable apply for 3D levels too large for VMEM: XLA
+    computes the z term (read phi, write zterm), the kernel the rest
+    (~5 dense-array HBM round trips total).  Partial edge blocks are
+    fine (masked writes; garbage never crosses rows)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..linalg.pallas_pcr import _shift
+
+    nz = phi.shape[0]
+    # z direction is d = 2 -> aux[8:12]
+    a_z, c_lo_z, c_hi_z, area_z = (jnp.asarray(a, phi.dtype)
+                                   for a in aux[8:12])
+    zterm = area_z * (a_z * phi - c_lo_z * _shift(phi, 1, -3, 0.0)
+                      - c_hi_z * _shift(phi, -1, -3, 0.0))
+
+    def spec_for(arr):
+        shape = tuple(bs if ax == 0 and arr.shape[0] > 1 else arr.shape[ax]
+                      for ax in range(3))
+
+        def index_map(i, s=arr.shape):
+            return (i if s[0] > 1 else 0, 0, 0)
+
+        return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
+
+    from ..linalg.pallas_pcr import _params
+
+    operands = [phi, zterm] + [jnp.asarray(a) for a in aux[:8]]
+    return pl.pallas_call(
+        _make_sep_kernel_tiled_3d(bs),
+        grid=(-(-nz // bs),),
+        out_shape=jax.ShapeDtypeStruct(phi.shape, phi.dtype),
+        in_specs=[spec_for(a) for a in operands],
+        out_specs=spec_for(phi),
+        compiler_params=_params(pltpu),
+        interpret=interpret,
+    )(*operands)
+
+
+def _pick_sep_block(nz: int, plane_bytes: int,
+                    budget: int = _VMEM_BUDGET) -> int | None:
+    """Block size for the z-blocked separable apply: live set ~ phi,
+    zterm, out blocks (double-buffered by the pipeline) + ~4 temporaries;
+    any bs works (partial edge blocks allowed, axis 0 is untiled).
+    Capped at 16 planes — many small pipelined blocks overlap better, and
+    large blocks balloon the kernel's scoped-VMEM stack (bs=79 on the
+    sphere grid hit a 110 MB stack and failed to compile; bs=12 runs)."""
+    bs = min(nz // 2, max(1, budget // max(10 * plane_bytes, 1)), 16)
+    if bs < 1 or -(-nz // bs) < 2:
+        return None
+    return bs
+
+
 def _pick_block(n0: int, per_row_bytes: int, ncoeffs: int) -> int | None:
     """Largest 8-multiple divisor bs of n0 with 2+ blocks, a full slab
     (bs + 2*_HALO <= n0), and the kernel's actual VMEM working set within
@@ -352,10 +508,45 @@ def make_pallas_poisson(mg, interpret: bool | None = None,
         return None  # TPU has no f64; the X64->X32 rewrite can't cross a custom call
     if interpret is None:
         interpret = not _on_tpu()
-    coeffs = dia_coefficients(level)
     itemsize = jnp.dtype(mg.dtype).itemsize
+    ncells = math.prod(level.shape)
+    from ..linalg.pallas_pcr import device_vmem_budget
+
+    budget = device_vmem_budget(_VMEM_BUDGET)
+
+    # preferred: separable kernels — phi + out are the only dense streams.
+    # Whole-array is capped at ~24 MB live set: beyond that the kernel's
+    # full-size temporaries (shifted copies) and lane-padded broadcast
+    # operands (a (nz, ny, 1) factor pads to 128 lanes in VMEM) blow the
+    # scoped-VMEM stack (measured: 1024^2 compiles at an 18 MB stack, the
+    # sphere grid OOMs), and measured XLA is at parity there anyway.
+    sep = separable_aux(level)
+    if 5 * ncells * itemsize <= min(budget, 24 * 1024 * 1024):
+
+        def apply_sep(phi):
+            return poisson_apply_separable(phi, sep, interpret=interpret)
+
+        return apply_sep
+    if dim == 3 and tiled:
+        # opt-in like the 2D slab DIA kernel: measured on v5e the XLA
+        # streaming stencil beats the z-blocked kernel at sphere scale
+        # (0.144 vs 0.215 ms/apply), so larger-than-VMEM 3D defaults to
+        # XLA; scripts/bench_spmv.py records the comparison
+        bs = _pick_sep_block(level.shape[0],
+                             math.prod(level.shape[1:]) * itemsize,
+                             budget=budget)
+        if bs is not None:
+
+            def apply_sep_t(phi):
+                return poisson_apply_separable_tiled_3d(
+                    phi, sep, bs=bs, interpret=interpret)
+
+            return apply_sep_t
+
+    # legacy DIA fallbacks (streamed dense coefficient arrays)
+    coeffs = dia_coefficients(level)
     narrs = 2 + len(coeffs)  # phi + out + coefficients
-    total = narrs * math.prod(level.shape) * itemsize
+    total = narrs * ncells * itemsize
 
     if total <= _VMEM_BUDGET:
         apply_full = poisson_apply_2d if dim == 2 else poisson_apply_3d

@@ -79,21 +79,13 @@ def main():
             results.append((f"{name}_sweep_d{d}",
                             bench(lambda p, d=d: mg._line_sweep(0, p, rhs, d),
                                   phi)))
-        # A/B: force the unfused path
-        fused_flag = mg.use_pcr
-        try:
-            import petibm_tpu.linalg.pallas_sweep as psw
-
-            orig = psw.sweep_fits_vmem
-            psw.sweep_fits_vmem = lambda *a, **k: False
-            for d in range(dim):
-                results.append(
-                    (f"{name}_sweep_d{d}_unfused",
-                     bench(lambda p, d=d: mg._line_sweep(0, p, rhs, d),
-                           phi)))
-        finally:
-            psw.sweep_fits_vmem = orig
-            mg.use_pcr = fused_flag
+        # A/B: force the unfused build + blocked-PCR + update path
+        mg.fused_sweeps = False
+        for d in range(dim):
+            results.append(
+                (f"{name}_sweep_d{d}_unfused",
+                 bench(lambda p, d=d: mg._line_sweep(0, p, rhs, d), phi)))
+        mg.fused_sweeps = True
 
         results.append((f"{name}_vcycle", bench(lambda r: mg.vcycle(0, r),
                                                 rhs)))

@@ -87,7 +87,9 @@ def test_make_pallas_poisson_dispatch(monkeypatch):
     np.testing.assert_allclose(np.asarray(fn(phi)), want, rtol=1e-12,
                                atol=1e-13)
     with monkeypatch.context() as mp:
-        mp.setattr(ps, "_VMEM_BUDGET", 400_000)  # force the tiled path
+        # 300k: separable whole-array (5 arrays, 327k) and DIA whole-array
+        # (7 arrays) both exceed it -> 2D falls to the opt-in tiled path
+        mp.setattr(ps, "_VMEM_BUDGET", 300_000)
         assert ps.make_pallas_poisson(mg, interpret=True) is None  # opt-in
         fn_t = ps.make_pallas_poisson(mg, interpret=True, tiled=True)
         assert fn_t is not None
@@ -118,3 +120,48 @@ def test_solver_with_pallas_matches_without(tmp_path):
                                np.asarray(sb.state["q"]["u"]), atol=1e-12)
     np.testing.assert_allclose(np.asarray(sa.state["p"]),
                                np.asarray(sb.state["p"]), atol=1e-12)
+
+
+def test_separable_kernels_match_operator():
+    """Separable-coefficient kernels (whole-array 2D/3D and z-slab tiled
+    3D) against the matrix-free operator."""
+    import petibm_tpu.operators.pallas_stencil as ps
+
+    for ns in ([48, 32], [12, 10, 32]):
+        mg, phi = _random_mg(ns)
+        aux = ps.separable_aux(mg.levels[0])
+        want = np.asarray(mg.apply_op(0, phi))
+        got = ps.poisson_apply_separable(phi, aux, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12,
+                                   atol=1e-13)
+    # tiled 3D: divisible blocks incl. the 2-block first/last-only split
+    mg, phi = _random_mg([12, 10, 32])  # shape (32, 10, 12)
+    aux = ps.separable_aux(mg.levels[0])
+    want = np.asarray(mg.apply_op(0, phi))
+    for bs in (4, 5, 8, 16):  # 5: partial edge block
+        got = ps.poisson_apply_separable_tiled_3d(phi, aux, bs=bs,
+                                                  interpret=True)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12,
+                                   atol=1e-13, err_msg=f"bs={bs}")
+
+
+def test_separable_dispatch_preference(monkeypatch):
+    """make_pallas_poisson prefers the separable kernels: whole-array when
+    it fits, the z-slab tiled variant for larger 3D."""
+    import petibm_tpu.operators.pallas_stencil as ps
+
+    mg, phi = _random_mg([12, 10, 32])
+    want = np.asarray(mg.apply_op(0, phi))
+    fn = ps.make_pallas_poisson(mg, interpret=True)
+    assert fn is not None
+    np.testing.assert_allclose(np.asarray(fn(phi)), want, rtol=1e-12,
+                               atol=1e-13)
+    with monkeypatch.context() as mp:
+        mp.setattr(ps, "_VMEM_BUDGET", 5 * 12 * 10 * 32 * 8 // 2)
+        # larger-than-VMEM 3D: the z-blocked separable kernel is opt-in
+        # (XLA's streaming stencil measured faster at sphere scale)
+        assert ps.make_pallas_poisson(mg, interpret=True) is None
+        fn_t = ps.make_pallas_poisson(mg, interpret=True, tiled=True)
+        assert fn_t is not None  # the tiled separable path
+        np.testing.assert_allclose(np.asarray(fn_t(phi)), want, rtol=1e-12,
+                                   atol=1e-13)

@@ -64,13 +64,11 @@ def test_blocked_fused_sweep_matches_unfused(monkeypatch, ns):
 
     with monkeypatch.context() as mp:
         mp.setattr(psw, "sweep_fits_vmem", lambda *a, **k: False)
-        orig_pick = psw.pick_sweep_block
 
         def tiny_pick(shape, line_axis, dtype, budget=None):
-            got = orig_pick(shape, line_axis, dtype)
-            assert got is not None
-            ba, _ = got
-            return ba, 5  # partial edge block for the 13/12-extent axes
+            # interpret mode needs no tile alignment: force tiny blocks so
+            # the 13/12-extent axes get partial edge blocks
+            return (0 if line_axis % len(shape) != 0 else 1), 5
         mp.setattr(psw, "pick_sweep_block", tiny_pick)
         # mg imports names inside _line_sweep, so patch the module attrs
         mg.use_pcr = True
