@@ -3,20 +3,25 @@
 The reference delimits every phase of the step with PETSc log stages and
 dumps -log_view tables at each save (reference: navierstokes.cpp:99-199,
 io.cpp:274 writePetscLog).  A jitted XLA step is one fused program, so
-phase times cannot be read from inside it; instead each phase is jitted
-separately (solver._profile_phases) and timed with the *sync-point sweep*:
+phase times cannot be read from inside it.  Instead the profiler builds
+one jitted *prefix program* per phase — phases 0..i chained inside a
+single XLA program, returning a scalar probe data-dependent on phase i's
+output — and times `device_get(P_i(state))` from a fixed developed
+snapshot.  The difference median(T_i) - median(T_{i-1}) is then phase
+i's pure device time: dispatch overhead and the host/device round trip
+are identical for every prefix and cancel.
 
-  For sync index i, run `steps` full time steps — every phase dispatched
-  every step, so the state advances exactly as in production — but block
-  (device_get of a scalar data-dependent on phase i's output) only after
-  phase i.  T(i) is then the per-step wall time of phases 0..i plus one
-  host/device round trip; phase i's own time is T(i) - T(i-1), with the
-  round-trip latency cancelling in the difference.
+Why not dispatch the phases separately and sync after phase i (the
+round-1 "sync-point sweep")?  Over the relayed TPU each *program
+dispatch* costs ~2-5 ms, so per-phase dispatch polluted every
+difference with dispatch latency an order of magnitude larger than the
+phase's device time (measured: 23 ms of "phases" for a 2.2 ms step).
+A null program (probe of the input state) provides the round-trip
+baseline subtracted from phase 0.
 
-This stays honest over the relayed TPU, where block_until_ready acks
-before execution finishes and only a value transfer really syncs
-(bench.py has the same constraint).  Negative differences (noise at
-microsecond-scale phases) clamp to zero.
+All timings sync via a value transfer (`float(jax.device_get(...))`) —
+over the relay `block_until_ready` acks before execution finishes
+(bench.py has the same constraint).
 
 There is also ``trace()`` for a raw jax-profiler trace of the production
 fused step (for xprof/tensorboard), which XLA-fuses across phases and is
@@ -32,42 +37,54 @@ import jax
 
 def profile_stages(solver, steps: int = 10, warmup: int = 3,
                    path: str | None = None) -> dict:
-    """Run the sync-point sweep on ``solver``; returns {phase: ms} plus
-    "_total" (sum of phases) and "_fused" (the production one-program
-    step, for comparison).  Writes a stage table to ``path``."""
-    phases = [(name, jax.jit(fn)) for name, fn in solver._profile_phases()]
+    """Prefix-program phase breakdown; returns {phase: ms} plus
+    "_total" (last prefix minus the null baseline — the step's device
+    time) and "_fused" (the production one-program step + sync, for
+    comparison).  ``steps`` = timing trials per prefix (medians are
+    reported).  Writes a stage table to ``path``."""
+    import numpy as np
 
-    def run_once(state, sync_idx):
-        ctx, probe_at = {"state": state}, None
-        for k, (_, fn) in enumerate(phases):
-            ctx, probe = fn(ctx)
-            if k == sync_idx:
-                probe_at = probe
-        return ctx["state"], probe_at
+    phases = solver._profile_phases()
 
+    def make_prefix(i):
+        @jax.jit
+        def P(state):
+            ctx = {"state": state}
+            probe = None
+            for _, fn in phases[:i + 1]:
+                ctx, probe = fn(ctx)
+            return probe
+
+        return P
+
+    @jax.jit
+    def null(state):
+        return jax.tree_util.tree_leaves(state)[0].ravel()[0]
+
+    prefix = [make_prefix(i) for i in range(len(phases))]
+
+    # developed snapshot (production steps), then compile every prefix
     state = solver.state
-    last = len(phases) - 1
     for _ in range(max(1, warmup)):
-        state, probe = run_once(state, last)
-    float(jax.device_get(probe))
+        state, stats = solver._step_fn(state)
+    _sync_stats(stats)
+    float(jax.device_get(null(state)))
+    for P in prefix:
+        float(jax.device_get(P(state)))
 
-    cum = []
-    for i in range(len(phases)):
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            state, probe = run_once(state, i)
-            float(jax.device_get(probe))
-        cum.append((time.perf_counter() - t0) / steps * 1e3)
+    trials = [[] for _ in range(len(prefix) + 1)]
+    fns = [null] + prefix
+    for _ in range(max(3, steps)):
+        for i, P in enumerate(fns):
+            t0 = time.perf_counter()
+            float(jax.device_get(P(state)))
+            trials[i].append(time.perf_counter() - t0)
+    med = [float(np.median(t)) * 1e3 for t in trials]
 
     result = {}
-    prev = None
-    for (name, _), t in zip(phases, cum):
-        # T(0) includes the host round trip; report differences only, with
-        # the first phase measured against a pure-sync baseline (estimated
-        # as the min observed round trip cannot be isolated here, so phase
-        # 0 absorbs the latency — interpret it as an upper bound)
-        result[name] = t if prev is None else max(0.0, t - prev)
-        prev = t
+    for k, (name, _) in enumerate(phases):
+        result[name] = max(0.0, med[k + 1] - med[k])
+    result["_total"] = max(0.0, med[-1] - med[0])
 
     # the production fused step for comparison
     fused_state = state
@@ -75,12 +92,11 @@ def profile_stages(solver, steps: int = 10, warmup: int = 3,
         fused_state, stats = solver._step_fn(fused_state)
     _sync_stats(stats)
     t0 = time.perf_counter()
-    for _ in range(steps):
+    n_fused = max(3, steps)
+    for _ in range(n_fused):
         fused_state, stats = solver._step_fn(fused_state)
         _sync_stats(stats)
-    fused_ms = (time.perf_counter() - t0) / steps * 1e3
-    result["_total"] = sum(v for k, v in result.items())
-    result["_fused"] = fused_ms
+    result["_fused"] = (time.perf_counter() - t0) / n_fused * 1e3
 
     if path:
         _write_table(path, result, steps)
@@ -96,13 +112,13 @@ def _write_table(path: str, result: dict, steps: int) -> None:
     phases = {k: v for k, v in result.items() if not k.startswith("_")}
     total = max(result.get("_total", 0.0), 1e-12)
     lines = [
-        "stage breakdown (sync-point sweep, avg over "
-        f"{steps} steps; phase 0 absorbs one host round trip)",
+        "stage breakdown (prefix-program medians over "
+        f"{steps} trials; round trip and dispatch overhead cancel)",
         f"{'stage':>16s} {'ms/step':>10s} {'%':>6s}",
     ]
     for name, ms in phases.items():
         lines.append(f"{name:>16s} {ms:10.4f} {100 * ms / total:6.1f}")
-    lines.append(f"{'sum':>16s} {result['_total']:10.4f}")
+    lines.append(f"{'total (device)':>16s} {result['_total']:10.4f}")
     lines.append(f"{'fused step':>16s} {result['_fused']:10.4f}"
                  "   (production one-program step + sync)")
     with open(path, "w") as fh:
