@@ -14,8 +14,11 @@ increments), wraparound where periodic.  Coarser levels rediscretize the
 same FV formula on 2x-aggregated cell widths (pairwise sums; odd tails
 keep a lone cell).  Restriction is the conservative child-sum (residuals
 are integrated fluxes); prolongation is piecewise-constant injection (its
-transpose).  Smoother: damped Jacobi — a pure stencil+axpy sweep that XLA
-fuses and GSPMD shards like every other stencil here.
+transpose).  Smoother: alternating-direction damped line-Jacobi —
+batched tridiagonal solves per direction (robust on stretched /
+anisotropic grids), via fused Pallas sweep kernels on TPU
+(pallas_sweep.py), in-VMEM PCR (pallas_pcr.py), or LAPACK-backed
+tridiagonal_solve on CPU.
 
 Used as a V-cycle preconditioner inside CG (MGCG), keeping the outer
 Krylov semantics (tolerances, iteration counts) identical to the
