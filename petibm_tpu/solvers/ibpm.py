@@ -86,8 +86,14 @@ class IBPMSolver(ForcesLogMixin, NavierStokesSolver):
         # pressure block: MG V-cycle or probed-diagonal Jacobi; force block:
         # analytic order-1 diag (diag(E B1 H) = dt * prod_d sum_k wd*wv)
         pc = popts.get("pc", "mg")
-        if pc == "mg":
+        if pc in ("mg", "fdm"):
             p_pre = self._make_poisson_pc(popts)
+            if p_pre is None and getattr(self, "poisson_fdm", None) is not None:
+                # fast-diagonalization pseudo-inverse (linalg/fdm.py): the
+                # *exact* SPD inverse of the pressure block -D B1 G, a
+                # strictly stronger block preconditioner than a V-cycle
+                # (only the E/H force coupling remains for the outer CG)
+                p_pre = self.poisson_fdm.solve
             # the coupled operator itself cannot use the fused -D B1 G
             # Pallas kernel (the force contribution -H f enters between G
             # and D), but the MG preconditioner's level-0 residual is the

@@ -311,16 +311,64 @@ class NavierStokesSolver:
                 if fused_lp is not None:
                     mg_lp.set_fused_apply(fused_lp)
 
-        self.p_solver = make_solver(negA_p, popts, M=M_p)
+        if (getattr(self, "poisson_fdm", None) is not None
+                and getattr(self, "_fdm_mode", "pcg") == "direct"):
+            # direct fast-diagonalization solve (+ residual-checked
+            # refinement); negA_p here is the fused apply when available.
+            # The default "pcg" mode instead runs CG with the FDM pseudo-
+            # inverse as preconditioner (M_p above): in f32 the direct
+            # pass lands ~1e-5 relative and plain refinement contracts
+            # only by ~kappa*eps per pass, while CG's minimization
+            # reaches the same floor as the round-3 CG+MG path in ~2
+            # iterations (tests/test_fdm.py::test_float32_accuracy)
+            from ..linalg.fdm import make_fdm_solver
+
+            self.p_solver = make_fdm_solver(self.poisson_fdm, negA_p, popts)
+        else:
+            self.p_solver = make_solver(negA_p, popts, M=M_p)
 
     def _make_poisson_pc(self, popts: dict):
-        """Preconditioner for the (negated) Poisson operator: geometric
-        multigrid V-cycle (the native replacement for `-pc_type gamg` /
-        AmgX) or probed-diagonal Jacobi."""
+        """Pressure solve strategy for the (negated) Poisson operator.
+
+        For BN order 1 (the reference's default) the operator is an exactly
+        separable Kronecker sum, so the default is the *direct* fast-
+        diagonalization solver (linalg/fdm.py) — per-direction
+        eigendecompositions at setup, dense MXU matmuls per solve —
+        replacing the iterative CG + multigrid path entirely (the
+        reference's `-pc_type gamg` / AmgX, navierstokes.cpp:566-580).
+        BN > 1 and the pinned-pressure (GPU-backend) variant keep the
+        geometric-multigrid-preconditioned CG; `pc: jacobi` keeps
+        probed-diagonal Jacobi.  Opt out of the direct solver with
+        ``parameters: {fdm: false}`` (or ``fdm: {enabled: false}``)."""
         pc = popts.get("pc", "mg")
         if pc == "none":
             return None
-        if pc == "mg":
+        params = self.config.get("parameters", {})
+        if pc in ("mg", "fdm"):
+            fdm_cfg = params.get("fdm", {})
+            if fdm_cfg is False:
+                fdm_cfg = {"enabled": False}
+            elif not isinstance(fdm_cfg, dict):
+                fdm_cfg = {}
+            eligible = self.bn_order == 1 and not self.is_ref_p
+            want = (bool(fdm_cfg.get("enabled", True))
+                    if pc == "mg" else True)
+            if pc == "fdm" and not eligible:
+                raise ValueError(
+                    "poisson pc 'fdm' requires BN order 1 and the "
+                    "CPU-backend (mean-projection) nullspace treatment")
+            if eligible and want:
+                from ..linalg.fdm import FastDiagPoisson
+
+                self.poisson_fdm = FastDiagPoisson(
+                    self.mesh.dxp, self.mesh.periodic, dtype=self.dtype,
+                    scale=self.dt,
+                    precision=fdm_cfg.get("precision", "highest"))
+                self._fdm_mode = str(fdm_cfg.get("mode", "pcg"))
+                # the MG level-0 factors still back the fused Pallas CG/
+                # residual operator (see _create_solvers), so fall through
+                # to build the hierarchy; its V-cycle goes unused
+        if pc in ("mg", "fdm"):
             from ..linalg.mg import PoissonMG
 
             mg_params = self.config.get("parameters", {}).get("mg", {}) or {}
@@ -335,6 +383,19 @@ class NavierStokesSolver:
             self.poisson_mg = PoissonMG(
                 self.mesh.dxp, self.mesh.periodic, dtype=self.dtype,
                 **mg_knobs)
+            fdm = getattr(self, "poisson_fdm", None)
+            if fdm is not None:
+                if getattr(self, "_fdm_mode", "pcg") == "direct":
+                    return None  # direct solver: no Krylov preconditioner
+                # CG preconditioner: the exact SPD pseudo-inverse (up to
+                # f32 rounding).  Output plain-mean removal keeps the f32
+                # CG recurrences from accumulating nullspace drift (same
+                # rationale as PoissonMG.preconditioner)
+                def M(r):
+                    out = fdm.solve(r)
+                    return out - jnp.mean(out)
+
+                return M
             # mixed-precision V-cycle (mg: {dtype: bfloat16}): the CG
             # operator and solution stay in the solver dtype — only the
             # preconditioner's coefficient streams and smoother math run

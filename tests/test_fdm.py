@@ -1,0 +1,160 @@
+"""Fast-diagonalization direct Poisson solver (linalg/fdm.py).
+
+Checks the direct solve against the (verified) separable MG operator on
+stretched, periodic, 2D and 3D grids, the float32 accuracy the TPU path
+relies on, and the end-to-end equivalence of the FDM-default pressure
+solve with the round-3 CG+MG path (reference behavior being replaced:
+navierstokes.cpp:566-580 with `-ksp_type cg -pc_type gamg`).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from petibm_tpu.linalg.fdm import FastDiagPoisson, make_fdm_solver
+from petibm_tpu.linalg.mg import PoissonMG
+
+
+def _stretched(n, r=1.03, h0=0.02):
+    return h0 * r ** np.arange(n)
+
+
+def _check_direct(dxp, periodic, scale=0.01, dtype=jnp.float64, tol=1e-10):
+    rng = np.random.default_rng(7)
+    mg = PoissonMG(dxp, periodic, dtype=dtype, scale=scale)
+    fdm = FastDiagPoisson(dxp, periodic, dtype=dtype, scale=scale)
+    shape = mg.levels[0].shape
+    b = rng.standard_normal(shape)
+    b -= b.mean()  # consistent RHS (range of the all-Neumann operator)
+    b = jnp.asarray(b, dtype)
+    x = fdm.solve(b)
+    r = b - mg.apply_op(0, x)
+    rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(b))
+    assert rel < tol, rel
+    return fdm, mg
+
+
+def test_direct_solve_2d_stretched():
+    _check_direct([_stretched(37), _stretched(29, 1.05)], [False, False])
+
+
+def test_direct_solve_periodic():
+    # periodic-x / wall-y, uniform-periodic direction (TGV-style grids)
+    _check_direct([np.full(32, 0.05), _stretched(21)], [True, False])
+    _check_direct([np.full(16, 0.1), np.full(24, 0.07)], [True, True])
+
+
+def test_direct_solve_3d():
+    _check_direct([_stretched(13), _stretched(11, 1.04), np.full(9, 0.1)],
+                  [False, False, True])
+
+
+def test_float32_accuracy():
+    """f32: the direct pass lands ~1e-5 relative (set by the operator's
+    conditioning at f32 rounding) and ONE refinement pass reaches the
+    1e-8 range — the production path's convergence contract."""
+    dxp = [_stretched(96, 1.02), _stretched(96, 1.02)]
+    fdm, mg = _check_direct(dxp, [False, False], dtype=jnp.float32,
+                            tol=1e-4)
+    from petibm_tpu.linalg.krylov import cg
+
+    rng = np.random.default_rng(7)
+    b = rng.standard_normal(mg.levels[0].shape)
+    b -= b.mean()
+    b = jnp.asarray(b, jnp.float32)
+    bnorm = float(jnp.linalg.norm(b))
+
+    def M(r):
+        out = fdm.solve(r)
+        return out - jnp.mean(out)
+
+    res = cg(lambda p: mg.apply_op(0, p), b, jnp.zeros_like(b), M=M,
+             atol=1e-6 * bnorm, maxiter=10)
+    assert bool(res.converged)
+    assert int(res.iters) <= 3, int(res.iters)
+
+
+def test_nullspace_component_discarded():
+    """b with a constant (nullspace) component: the solve ignores it and
+    returns the minimum-norm solution of the consistent part."""
+    dxp = [_stretched(17), _stretched(19)]
+    mg = PoissonMG(dxp, [False, False], dtype=jnp.float64, scale=0.5)
+    fdm = FastDiagPoisson(dxp, [False, False], dtype=jnp.float64, scale=0.5)
+    rng = np.random.default_rng(3)
+    b0 = rng.standard_normal(mg.levels[0].shape)
+    b0 -= b0.mean()
+    x0 = fdm.solve(jnp.asarray(b0))
+    x1 = fdm.solve(jnp.asarray(b0 + 5.0))  # add a nullspace component
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(x1), atol=1e-9)
+    # A x recovers the consistent part only
+    r = jnp.asarray(b0) - mg.apply_op(0, x0)
+    assert float(jnp.linalg.norm(r)) < 1e-9 * float(jnp.linalg.norm(x0) + 1)
+
+
+def test_refinement_solver_semantics():
+    dxp = [_stretched(25), _stretched(31)]
+    mg = PoissonMG(dxp, [False, False], dtype=jnp.float64, scale=0.01)
+    fdm = FastDiagPoisson(dxp, [False, False], dtype=jnp.float64, scale=0.01)
+    solve = make_fdm_solver(fdm, lambda p: mg.apply_op(0, p),
+                            {"atol": 1e-12, "rtol": 0.0, "max_it": 50})
+    rng = np.random.default_rng(11)
+    b = rng.standard_normal(mg.levels[0].shape)
+    b -= b.mean()
+    b = jnp.asarray(b)
+    res = solve(b, jnp.zeros_like(b))
+    assert bool(res.converged)
+    assert float(res.residual) <= 1e-12
+    assert int(res.iters) <= 2  # direct solve + at most refinement touch-ups
+
+
+@pytest.mark.parametrize("disable", [False, True])
+def test_cavity_fdm_matches_mgcg(tmp_path, disable):
+    """End-to-end: the FDM-default pressure solve reproduces the CG+MG
+    solution of the same cavity flow (both converged to atol 1e-9)."""
+    from petibm_tpu.solvers.navierstokes import NavierStokesSolver
+
+    def config(fdm_enabled):
+        out = tmp_path / ("fdm" if fdm_enabled else "mg")
+        return {
+            "directory": str(tmp_path), "output": str(out),
+            "logs": str(out / "logs"),
+            "mesh": [
+                {"direction": "x", "start": 0.0,
+                 "subDomains": [{"end": 1.0, "cells": 24, "stretchRatio": 1.0}]},
+                {"direction": "y", "start": 0.0,
+                 "subDomains": [{"end": 1.0, "cells": 24, "stretchRatio": 1.0}]},
+            ],
+            "flow": {
+                "nu": 0.01, "initialVelocity": [0.0, 0.0],
+                "boundaryConditions": [
+                    {"location": "xMinus", "u": ["DIRICHLET", 0.0], "v": ["DIRICHLET", 0.0]},
+                    {"location": "xPlus", "u": ["DIRICHLET", 0.0], "v": ["DIRICHLET", 0.0]},
+                    {"location": "yMinus", "u": ["DIRICHLET", 0.0], "v": ["DIRICHLET", 0.0]},
+                    {"location": "yPlus", "u": ["DIRICHLET", 1.0], "v": ["DIRICHLET", 0.0]},
+                ],
+            },
+            "parameters": {
+                "dt": 0.01, "nt": 5, "nsave": 100, "nrestart": 100,
+                "fdm": fdm_enabled,
+                "poissonSolver": {"type": "CPU", "atol": 1e-9, "rtol": 0.0},
+                "velocitySolver": {"type": "CPU", "atol": 1e-9, "rtol": 0.0},
+            },
+        }
+
+    sol = NavierStokesSolver(config(not disable))
+    if disable:
+        assert getattr(sol, "poisson_fdm", None) is None
+    else:
+        assert sol.poisson_fdm is not None
+    for _ in range(5):
+        sol.advance()
+    sol.close()
+    if disable:
+        test_cavity_fdm_matches_mgcg._mg = np.asarray(sol.state["p"])
+    else:
+        test_cavity_fdm_matches_mgcg._fdm = np.asarray(sol.state["p"])
+    fdm = getattr(test_cavity_fdm_matches_mgcg, "_fdm", None)
+    mgp = getattr(test_cavity_fdm_matches_mgcg, "_mg", None)
+    if fdm is not None and mgp is not None:
+        np.testing.assert_allclose(fdm - fdm.mean(), mgp - mgp.mean(),
+                                   atol=1e-7)

@@ -157,6 +157,9 @@ def test_mixed_precision_vcycle_preconditioner(tmp_path):
     cfg_b = run_config(tmp_path / "b", nt=10)
     cfg_b["parameters"]["dtype"] = "float32"
     cfg_b["parameters"]["mg"] = {"dtype": "bfloat16"}
+    # this test targets the CG+MG path; opt out of the FDM default
+    cfg_a["parameters"]["fdm"] = False
+    cfg_b["parameters"]["fdm"] = False
     for d in ("a", "b"):
         os.makedirs(tmp_path / d, exist_ok=True)
     sa = NavierStokesSolver(cfg_a)

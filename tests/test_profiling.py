@@ -36,8 +36,12 @@ def assert_states_match(a, b):
     fb = jax.tree_util.tree_leaves(b)
     assert len(fa) == len(fb)
     for x, y in zip(fa, fb):
+        # 1e-10: the FDM preconditioner's dense matmuls may fuse (and so
+        # reassociate their reductions) differently between the fused and
+        # phase-split programs — a few-ULP effect; semantic drift between
+        # the phase list and _build_step would show at >= 1e-6
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
-                                   rtol=0, atol=1e-12)
+                                   rtol=0, atol=1e-10)
 
 
 def test_phases_match_step_navierstokes(tmp_path):
