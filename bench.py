@@ -122,17 +122,21 @@ def main() -> int:
     t_apply = bench_apply(solver._negA_p, phi)
     ncells = int(phi.size)
     nnz = 5 * ncells  # 5-point pressure Poisson rows
-    # mandatory traffic: phi + out only — the operator factors are
-    # separable 1D vectors (linalg/mg.py), so coefficients cost no HBM
-    # bytes in either the fused XLA or the separable Pallas formulation
-    sol_nnz_s = bw * nnz / (2 * ncells * 4)
+    # mandatory traffic follows the kernel actually dispatched: the
+    # separable Pallas / fused-XLA formulations stream phi + out only
+    # (coefficients are 1D factors, linalg/mg.py); the legacy DIA
+    # fallbacks stream pts+2 dense arrays and tag themselves with
+    # .traffic_arrays (operators/pallas_stencil.py)
+    n_arrays = int(getattr(solver._negA_p, "traffic_arrays", 2))
+    mand_bytes = n_arrays * ncells * 4
+    sol_nnz_s = bw * nnz / mand_bytes
     nnz_per_s = nnz / t_apply
 
     # HBM utilization of the hot operator: mandatory traffic over
     # measured apply time, as a fraction of the measured stream bandwidth
     # (at 450^2 the apply is fixed-cost-bound, not bandwidth-bound — see
     # scripts/bench_spmv.py for the sizes where the roofline binds)
-    hbm_util = (2 * ncells * 4) / t_apply / bw
+    hbm_util = mand_bytes / t_apply / bw
     # whole-step bytes from XLA's cost model — a LOWER bound only: while
     # loop bodies (the Krylov/V-cycle iterations) are counted once
     step_util_lb = None
@@ -167,6 +171,7 @@ def main() -> int:
             "spmv_vs_roofline": round(nnz_per_s / sol_nnz_s, 3),
             "spmv_ms_per_apply": round(t_apply * 1e3, 4),
             "stream_GBps": round(bw / 1e9, 1),
+            "traffic_model_arrays": n_arrays,
             "hbm_bw_utilization": round(hbm_util, 3),
             "step_hbm_utilization_xla_cost_model_lb": (
                 round(step_util_lb, 4) if step_util_lb is not None else None),

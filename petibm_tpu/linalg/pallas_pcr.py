@@ -147,10 +147,20 @@ def device_vmem_budget(fallback: int = _DEFAULT_BUDGET) -> int:
     return fallback
 
 
+# largest whole-array live set empirically verified to compile and run on
+# v5e (~25 MB); the separable apply uses the same cap (pallas_stencil.py).
+# device_vmem_budget() can model up to 64 MB on v5e+, but admitting a
+# never-measured 64 MB live set risks a Mosaic scoped-VMEM failure at
+# runtime on mid-size grids, so whole-array admission stays at this cap
+# until larger live sets are actually measured on hardware.
+_WHOLE_ARRAY_CAP = 24 * 1024 * 1024
+
+
 def fits_vmem(shape, dtype, budget: int | None = None) -> bool:
     """Whether a whole-array PCR (4 inputs + out + temporaries) fits."""
     if budget is None:
         budget = device_vmem_budget()
+    budget = min(budget, _WHOLE_ARRAY_CAP)
     return 8 * math.prod(shape) * jnp.dtype(dtype).itemsize <= budget
 
 

@@ -174,11 +174,13 @@ def fused_sweep(phi, rhs, aux, line_axis: int, omega: float,
 
 def sweep_fits_vmem(shape, dtype, budget: int | None = None) -> bool:
     """Live set ~ phi, rhs, b, diag + PCR's a, b, c, d and shifted
-    temporaries — same order as the plain PCR kernel plus two."""
-    from .pallas_pcr import device_vmem_budget
+    temporaries — same order as the plain PCR kernel plus two.  Capped at
+    the largest live set verified on hardware (see pallas_pcr)."""
+    from .pallas_pcr import _WHOLE_ARRAY_CAP, device_vmem_budget
 
     if budget is None:
         budget = device_vmem_budget()
+    budget = min(budget, _WHOLE_ARRAY_CAP)
     return 10 * math.prod(shape) * jnp.dtype(dtype).itemsize <= budget
 
 

@@ -60,15 +60,27 @@ def make_flux_areas(mesh: StaggeredMesh, dtype=jnp.float32) -> dict:
     return make_r(mesh, dtype)
 
 
+def _cached(mesh: StaggeredMesh, kind: str, dtype, builder):
+    """Per-mesh cache for the diagonal-operator arrays, so repeated
+    converter calls don't rebuild R / R^-1 each time."""
+    cache = getattr(mesh, "_diag_cache", None)
+    if cache is None:
+        cache = mesh._diag_cache = {}
+    key = (kind, jnp.dtype(dtype).name)
+    if key not in cache:
+        cache[key] = builder(mesh, dtype)
+    return cache[key]
+
+
 def convert_to_flux(mesh: StaggeredMesh, q: dict) -> dict:
     """Velocity -> flux through the staggered faces: Q = R u
     (reference: solutionsimple.cpp:107-119 convert2Flux)."""
-    r = make_r(mesh, next(iter(q.values())).dtype)
+    r = _cached(mesh, "r", next(iter(q.values())).dtype, make_r)
     return {k: q[k] * r[k] for k in q}
 
 
 def convert_to_velocity(mesh: StaggeredMesh, q: dict) -> dict:
     """Flux -> velocity: u = R^-1 Q
     (reference: solutionsimple.cpp:90-105 convert2Velocity)."""
-    rinv = make_rinv(mesh, next(iter(q.values())).dtype)
+    rinv = _cached(mesh, "rinv", next(iter(q.values())).dtype, make_rinv)
     return {k: q[k] * rinv[k] for k in q}

@@ -526,6 +526,7 @@ def make_pallas_poisson(mg, interpret: bool | None = None,
         def apply_sep(phi):
             return poisson_apply_separable(phi, sep, interpret=interpret)
 
+        apply_sep.traffic_arrays = 2  # phi + out only (separable factors)
         return apply_sep
     if dim == 3 and tiled:
         # opt-in like the 2D slab DIA kernel: measured on v5e the XLA
@@ -541,6 +542,7 @@ def make_pallas_poisson(mg, interpret: bool | None = None,
                 return poisson_apply_separable_tiled_3d(
                     phi, sep, bs=bs, interpret=interpret)
 
+            apply_sep_t.traffic_arrays = 2
             return apply_sep_t
 
     # legacy DIA fallbacks (streamed dense coefficient arrays)
@@ -554,6 +556,7 @@ def make_pallas_poisson(mg, interpret: bool | None = None,
         def apply_fn(phi):
             return apply_full(phi, *coeffs, interpret=interpret)
 
+        apply_fn.traffic_arrays = narrs  # DIA: streams dense coefficients
         return apply_fn
 
     if not tiled:
@@ -569,4 +572,5 @@ def make_pallas_poisson(mg, interpret: bool | None = None,
     def apply_fn(phi):
         return apply_tiled(phi, *coeffs, bs=bs, interpret=interpret)
 
+    apply_fn.traffic_arrays = narrs  # DIA: streams dense coefficients
     return apply_fn

@@ -46,6 +46,19 @@ def profile_stages(solver, steps: int = 10, warmup: int = 3,
 
     phases = solver._profile_phases()
 
+    def _anchor(tree, probe):
+        """Fold a reduction over EVERY carried leaf into the returned
+        scalar: without this, XLA dead-code-eliminates any phase work
+        outside the probe's dependency cone (e.g. the update phase's
+        ghost refresh consumed only by the *next* step), silently
+        misattributing or dropping device time from the phase split."""
+        import jax.numpy as jnp
+
+        acc = jnp.asarray(probe, jnp.float32).astype(jnp.float32)
+        for leaf in jax.tree_util.tree_leaves(tree):
+            acc = acc + jnp.sum(leaf).astype(jnp.float32)
+        return acc
+
     def make_prefix(i):
         @jax.jit
         def P(state):
@@ -53,13 +66,15 @@ def profile_stages(solver, steps: int = 10, warmup: int = 3,
             probe = None
             for _, fn in phases[:i + 1]:
                 ctx, probe = fn(ctx)
-            return probe
+            return _anchor(ctx, probe)
 
         return P
 
     @jax.jit
     def null(state):
-        return jax.tree_util.tree_leaves(state)[0].ravel()[0]
+        # the null baseline reduces the full input state too, so the
+        # anchor-reduction cost cancels out of phase 0's difference
+        return _anchor(state, 0.0)
 
     prefix = [make_prefix(i) for i in range(len(phases))]
 
