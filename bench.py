@@ -7,12 +7,16 @@ closest published number — 2D IBPM cylinder Re=550, 450x450 stretched,
 (doc/markdowns/examples2d.md:133) — i.e. 250 ms per time step.
 
 The full step (momentum CG — the Helmholtz operator is SPD, so CG replaces
-the reference's BiCGStab+Jacobi — dense EBNH force solve, MG-preconditioned
-CG Poisson at the reference's atol 1e-6, projection) runs jitted on one TPU
-chip, 50 steps per dispatch (parameters.stepsPerDispatch — lax.scan inside
-one XLA program, so host dispatch latency over the device tunnel amortizes
-across the chunk); measurement happens after a 300-step spin-up so Krylov
-iteration counts reflect developed flow, not the trivial uniform start.
+the reference's BiCGStab+Jacobi — dense EBNH force solve, fast-
+diagonalization-preconditioned CG Poisson at the reference's atol 1e-6,
+projection) runs jitted on one TPU chip, 1000 steps per dispatch
+(parameters.stepsPerDispatch — lax.scan inside one XLA program; per-step
+solver stats still ride along, so per-step logging is preserved).  The
+~28 ms tunnel round trip per sync would otherwise dominate a ~0.45 ms
+step: at 50-step chunks the report overstates the step by ~0.56 ms
+(measured; validation/stages_450sq.txt has the per-phase device times).
+Measurement happens after a 1000-step spin-up so Krylov iteration counts
+reflect developed flow, not the trivial uniform start.
 Prints ONE JSON line; vs_baseline > 1 means faster than the reference's
 rate.
 """
@@ -66,7 +70,7 @@ def build_config(tmpdir: str) -> dict:
             # dt follows the reference's 450^2 cylinder cases (Re550 uses
             # 0.0025 on this grid; explicit AB2 convection needs CFL < ~0.5)
             "dt": 0.0025, "nt": 10, "nsave": 100000, "nrestart": 100000,
-            "dtype": "float32", "stepsPerDispatch": 50,
+            "dtype": "float32", "stepsPerDispatch": 1000,
             "convection": "ADAMS_BASHFORTH_2", "diffusion": "CRANK_NICOLSON",
             "velocitySolver": {"type": "CPU", "atol": 1e-6, "rtol": 1e-6,
                                "max_it": 1000},
@@ -94,7 +98,7 @@ def main() -> int:
         return float(jax.device_get(stats["p_res"])[-1])
 
     k = solver.steps_per_dispatch
-    warmup_chunks, chunks = 6, 20  # 300 spin-up steps, 1000 measured
+    warmup_chunks, chunks = 1, 2  # 1000 spin-up steps, 2000 measured
     state = solver.state
     for _ in range(warmup_chunks):
         state, stats = solver._chunk_fn(state)

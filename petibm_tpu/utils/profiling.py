@@ -36,12 +36,19 @@ import jax
 
 
 def profile_stages(solver, steps: int = 10, warmup: int = 3,
-                   path: str | None = None) -> dict:
+                   path: str | None = None, repeat: int = 8) -> dict:
     """Prefix-program phase breakdown; returns {phase: ms} plus
     "_total" (last prefix minus the null baseline — the step's device
     time) and "_fused" (the production one-program step + sync, for
     comparison).  ``steps`` = timing trials per prefix (medians are
-    reported).  Writes a stage table to ``path``."""
+    reported).  Writes a stage table to ``path``.
+
+    ``repeat``: each prefix runs its phase chain this many times inside
+    one program (a lax.scan whose input state takes a ~1e-35 perturbation
+    from the previous repeat's probe, so XLA can neither CSE nor hoist
+    the loop-invariant body) and the measured difference is divided back.
+    Sub-millisecond phases would otherwise drown in the multi-ms relay
+    round-trip jitter now that a full step is ~1 ms."""
     import numpy as np
 
     phases = solver._profile_phases()
@@ -60,13 +67,30 @@ def profile_stages(solver, steps: int = 10, warmup: int = 3,
         return acc
 
     def make_prefix(i):
-        @jax.jit
-        def P(state):
+        import jax.numpy as jnp
+
+        def chain(state):
             ctx = {"state": state}
             probe = None
             for _, fn in phases[:i + 1]:
                 ctx, probe = fn(ctx)
             return _anchor(ctx, probe)
+
+        @jax.jit
+        def P(state):
+            def one(feed, _):
+                # feed the previous repeat's probe back at ~1e-35 scale:
+                # numerically a no-op, but it makes the body's input
+                # loop-variant so the scan really executes `repeat` times
+                leaves, treedef = jax.tree_util.tree_flatten(state)
+                leaves = [l + (feed * 1e-35).astype(l.dtype)
+                          for l in leaves]
+                st = jax.tree_util.tree_unflatten(treedef, leaves)
+                return chain(st), None
+
+            feed, _ = jax.lax.scan(one, jnp.asarray(0.0, jnp.float32),
+                                   None, length=repeat)
+            return feed
 
         return P
 
@@ -98,8 +122,8 @@ def profile_stages(solver, steps: int = 10, warmup: int = 3,
 
     result = {}
     for k, (name, _) in enumerate(phases):
-        result[name] = max(0.0, med[k + 1] - med[k])
-    result["_total"] = max(0.0, med[-1] - med[0])
+        result[name] = max(0.0, med[k + 1] - med[k]) / repeat
+    result["_total"] = max(0.0, med[-1] - med[0]) / repeat
 
     # the production fused step for comparison
     fused_state = state
