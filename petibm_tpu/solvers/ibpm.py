@@ -134,9 +134,17 @@ class IBPMSolver(ForcesLogMixin, NavierStokesSolver):
     # ------------------------------------------------------------------
     def _build_step(self):
         def step(state):
-            # momentum: identical to plain NS (no H f term; forces enter
-            # through the combined projection)
+            # momentum RHS: the reference applies the COMBINED gradient
+            # [G, -H] to the accumulated phi = (p, f) in its inherited
+            # assembleRHSVelocity (createOperators swaps this->G for the
+            # nested operator, ibpm.cpp:164-169), i.e. rhs1 gets
+            # -G p + H f.  _rhs_velocity supplies the -G p part; add the
+            # spread accumulated force.  Without it every coupled solve
+            # returns the FULL force, which then wrongly accumulates
+            # (caught by the Re=550 Cd(t)-curve validation).
             rhs1, state = self._rhs_velocity(state)
+            hf = self.delta.spread(state["f"], self._win)
+            rhs1 = tmap(lambda r, x: r + x, rhs1, hf)
             vsol = self._solve_velocity(rhs1, state)
             ustar = vsol.x
 
@@ -184,6 +192,8 @@ class IBPMSolver(ForcesLogMixin, NavierStokesSolver):
 
         def rhsVelocity(ctx):
             rhs1, state = self._rhs_velocity(ctx["state"])
+            hf = self.delta.spread(state["f"], self._win)
+            rhs1 = tmap(lambda r, x: r + x, rhs1, hf)
             return dict(ctx, state=state, rhs1=rhs1), rhs1["u"].ravel()[0]
 
         def solveVelocity(ctx):

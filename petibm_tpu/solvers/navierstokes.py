@@ -70,7 +70,11 @@ def _setup_device():
     if want in ("", "none"):
         return contextlib.nullcontext()
     try:
-        dev = jax.devices(want)[0]
+        # local_devices, not devices: under multi-process jax.distributed
+        # the global list leads with process 0's devices, and pinning
+        # setup arrays to a non-addressable device breaks every later
+        # host access on other ranks (caught by tests/test_multihost.py)
+        dev = jax.local_devices(backend=want)[0]
     except RuntimeError as exc:  # platform not registered / unknown
         warnings.warn(
             f"PETIBM_TPU_SETUP_DEVICE={want!r}: no such backend ({exc}); "
@@ -90,6 +94,14 @@ class NavierStokesSolver:
     def __init__(self, config: dict):
         self.config = config
         self.timers = StageTimers()
+        # multi-host bring-up MUST precede the first backend query —
+        # _setup_device() below calls jax.devices(), after which
+        # jax.distributed.initialize refuses to run (the MPI_Init
+        # analogue; reference: PetscInitialize in every app main.cpp;
+        # exercised for real by tests/test_multihost.py)
+        from ..parallel import maybe_initialize
+
+        maybe_initialize(config.get("parameters", {}).get("distributed"))
         with self.timers.stage("initialize"), _setup_device():
             self._init(config)
 
@@ -121,11 +133,10 @@ class NavierStokesSolver:
         # decomposition, cartesianmesh.cpp:492-538): a `parameters.sharding`
         # node shards every grid field over a ("dy","dx") device mesh;
         # GSPMD inserts the halo exchanges and psum reductions over ICI
-        from ..parallel import maybe_initialize, mesh_from_config
+        from ..parallel import mesh_from_config
 
-        # multi-host bring-up must precede any backend query (the MPI_Init
-        # analogue; reference: PetscInitialize in every app main.cpp)
-        maybe_initialize(params.get("distributed"))
+        # (multi-host bring-up already happened in __init__, before the
+        # first backend query)
         self.sharding_mesh = mesh_from_config(params.get("sharding"))
         # XLA:CPU emulates collectives with an in-process thread rendezvous
         # that can deadlock when many multi-device executions are in flight

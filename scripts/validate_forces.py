@@ -216,8 +216,91 @@ def case_sphere300(args) -> None:
     emit("sphere300", result)
 
 
+def _kl_curve_compare(t, cd, re: int, t_min: float = 0.5) -> dict:
+    """Pointwise Cd(t) comparison against the vendored Koumoutsakos &
+    Leonard (1995) digitized curve (examples/data/..., copied from the
+    reference's examples/data; time axis U*t/R -> halve to U*t/D, the
+    convention of the reference's plotDragCoefficient.py scripts).
+
+    Deviations are reported over published samples with t >= t_min
+    (default 0.5: the impulsive start's Cd -> infinity transient is
+    digitization- and dt-resolution-dominated below that)."""
+    path = os.path.join(REPO, "examples", "data",
+                        f"koumoutsakos_leonard_1995_cylinder_"
+                        f"dragCoefficientRe{re}.dat")
+    tp, cdp = np.loadtxt(path, unpack=True)
+    tp = 0.5 * tp
+    sel = (tp >= t_min) & (tp <= t[-1] + 1e-9)
+    tp, cdp = tp[sel], cdp[sel]
+    cds = np.interp(tp, t, cd)
+    dev = cds - cdp
+    return {
+        "n_published_samples": int(len(tp)),
+        "t_range_compared": [float(tp[0]), float(tp[-1])],
+        "rms_dev": round(float(np.sqrt(np.mean(dev**2))), 4),
+        "max_abs_dev": round(float(np.max(np.abs(dev))), 4),
+        "mean_cd_published": round(float(np.mean(cdp)), 4),
+        "mean_cd_simulated": round(float(np.mean(cds)), 4),
+    }
+
+
+def _case_kl_cylinder(args, name: str, re: int, rms_tol: float,
+                      max_tol: float) -> None:
+    """Impulsively-started cylinder, Cd(t) history vs K&L 1995
+    (reference: doc/markdowns/examples2d.md:133-136, the two hardest
+    published 2D targets; examples run t in (0, 3]).
+
+    Uses the *coupled* IBPM (the reference's example family for these
+    cases, examples/ibpm/cylinder2dRe{550,3000}): the impulsive-start
+    transient IS the validation target, and the decoupled scheme's
+    lagged force/pressure splitting rings during it (a dt-independent
+    ~44-step damped oscillation from the two non-commuting constraint
+    projections; measured in round 4 — see docs/performance.md) while
+    the coupled solve imposes both constraints simultaneously and
+    tracks the published curve from t ~ 0.1."""
+    from petibm_tpu.solvers.ibpm import IBPMSolver
+
+    directory = os.path.join(REPO, "examples", "ibpm", f"cylinder2dRe{re}")
+    from petibm_tpu.config import load_config
+
+    cfg = load_config(directory=directory)
+    out = os.path.join(directory, "output")
+    cfg["output"] = out
+    cfg["logs"] = os.path.join(out, "logs")
+    cfg["parameters"].update({
+        "nsave": 100000, "nrestart": 1000000,
+        "dtype": args.dtype, "stepsPerDispatch": args.chunk})
+    if args.nt:
+        cfg["parameters"]["nt"] = args.nt
+    solver, setup_s, run_s = run(cfg, IBPMSolver)
+    data = read_forces(cfg["output"])
+    t, cd = data[:, 0], 2 * data[:, 1]
+    cmp = _kl_curve_compare(t, cd, re)
+    result = {
+        "case": f"cylinder2dRe{re}_ibpm",
+        "grid": "450x450 stretched" if re == 550 else "986x986 stretched",
+        "curve_vs_koumoutsakos_leonard_1995": cmp,
+        "t_final": float(t[-1]),
+        "target": f"Cd(t) history within rms {rms_tol} / max {max_tol} of "
+                  "the digitized K&L 1995 curve for t in [0.5, 3]",
+        "pass": bool(cmp["rms_dev"] <= rms_tol
+                     and cmp["max_abs_dev"] <= max_tol),
+        "detail": platform_detail(setup_s, run_s, len(t)),
+    }
+    emit(name, result)
+
+
+def case_re550(args) -> None:
+    _case_kl_cylinder(args, "re550", 550, rms_tol=0.06, max_tol=0.12)
+
+
+def case_re3000(args) -> None:
+    _case_kl_cylinder(args, "re3000", 3000, rms_tol=0.08, max_tol=0.16)
+
+
 CASES = {"re40": case_re40, "re200": case_re200,
-         "oscillating": case_oscillating, "sphere300": case_sphere300}
+         "oscillating": case_oscillating, "sphere300": case_sphere300,
+         "re550": case_re550, "re3000": case_re3000}
 
 
 def main() -> int:

@@ -65,6 +65,27 @@ def test_recorded_sphere300_drag():
     assert 0.58 <= r["cd_mean"] <= 0.74, r
 
 
+def test_recorded_re550_kl_curve():
+    """Cd(t) history tracks the vendored Koumoutsakos & Leonard (1995)
+    Re=550 curve pointwise (examples/data/..., the reference's own
+    validation dataset; doc/markdowns/examples2d.md:133)."""
+    r = _recorded("re550")
+    cmp = r["curve_vs_koumoutsakos_leonard_1995"]
+    assert cmp["n_published_samples"] >= 10, r
+    assert cmp["rms_dev"] <= 0.06, r
+    assert cmp["max_abs_dev"] <= 0.12, r
+
+
+def test_recorded_re3000_kl_curve():
+    """Cd(t) history tracks the K&L (1995) Re=3000 curve pointwise —
+    the reference's hardest published 2D target (986^2 grid)."""
+    r = _recorded("re3000")
+    cmp = r["curve_vs_koumoutsakos_leonard_1995"]
+    assert cmp["n_published_samples"] >= 10, r
+    assert cmp["rms_dev"] <= 0.08, r
+    assert cmp["max_abs_dev"] <= 0.16, r
+
+
 @pytest.mark.slow
 def test_cylinder_re40_drag_full_run():
     """Run the full 186^2 x 2000-step Re=40 case on this backend and assert
