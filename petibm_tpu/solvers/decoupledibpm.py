@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..config import solver_config
 from ..ibm.body import BodyPack
-from ..ibm.interp import DeltaOp
+from ..ibm.interp import make_delta_op
 from ..linalg import make_solver
 from ._forceslog import ForcesLogMixin
 from .navierstokes import NavierStokesSolver
@@ -37,8 +37,13 @@ class DecoupledIBPMSolver(ForcesLogMixin, NavierStokesSolver):
         self.bodies = BodyPack(config, self.mesh)
         if self.bodies.n_bodies == 0:
             raise ValueError("decoupled IBPM requires at least one body")
-        kernel = config.get("parameters", {}).get("delta", "ROMA_ET_AL_1999")
-        self.delta = DeltaOp(self.mesh, kernel, self.dtype)
+        params = config.get("parameters", {})
+        kernel = params.get("delta", "ROMA_ET_AL_1999")
+        # large bodies switch to the windowed gather/scatter delta engine
+        # (parameters.deltaEngine: auto|factor|windowed; ibm/interp.py)
+        self.delta = make_delta_op(
+            self.mesh, kernel, self.dtype, n_pts=self.bodies.n_pts,
+            engine=params.get("deltaEngine", "auto"))
         self.state["f"] = jnp.zeros((self.bodies.n_pts, self.mesh.dim),
                                     self.dtype)
         self.state["df"] = jnp.zeros_like(self.state["f"])
@@ -68,8 +73,12 @@ class DecoupledIBPMSolver(ForcesLogMixin, NavierStokesSolver):
         # interpolate).  The reference instead materializes sparse EBNH
         # via SpGEMM and iterates (decoupledibpm.cpp:171-216).  Opt out
         # with parameters.forcesSolver.dense: false.
-        dense = bool(fopts.get("dense", self.bn_order == 1))
-        if dense and self.bn_order == 1:
+        # the windowed delta engine keeps no per-grid-axis factor matrices,
+        # so the dense EBNH blocks can't be formed (and at that body size a
+        # dense (N, N) solve is infeasible anyway) — use matrix-free Krylov
+        dense = bool(fopts.get(
+            "dense", self.bn_order == 1 and not self.delta.windowed))
+        if dense and self.bn_order == 1 and not self.delta.windowed:
             from ..linalg.krylov import SolveResult
 
             dt, dim, dtype = self.dt, self.mesh.dim, self.dtype

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..config import solver_config
 from ..ibm.body import BodyPack
-from ..ibm.interp import DeltaOp
+from ..ibm.interp import make_delta_op
 from ..linalg import extract_diagonal, make_solver
 from ..types import Field
 from ._forceslog import ForcesLogMixin
@@ -39,8 +39,11 @@ class IBPMSolver(ForcesLogMixin, NavierStokesSolver):
         self.bodies = BodyPack(config, self.mesh)
         if self.bodies.n_bodies == 0:
             raise ValueError("IBPM requires at least one body")
-        kernel = config.get("parameters", {}).get("delta", "ROMA_ET_AL_1999")
-        self.delta = DeltaOp(self.mesh, kernel, self.dtype)
+        params = config.get("parameters", {})
+        kernel = params.get("delta", "ROMA_ET_AL_1999")
+        self.delta = make_delta_op(
+            self.mesh, kernel, self.dtype, n_pts=self.bodies.n_pts,
+            engine=params.get("deltaEngine", "auto"))
         self.state["f"] = jnp.zeros((self.bodies.n_pts, self.mesh.dim),
                                     self.dtype)
         self._win = self.delta.windows(

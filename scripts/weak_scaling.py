@@ -84,6 +84,70 @@ def build_config(tmpdir: str, nx: int, ny: int, sharding: dict,
     return cfg
 
 
+def sweep(args) -> int:
+    """Run the harness at each device count in its own subprocess on the
+    virtual CPU mesh and record validation/weak_scaling.json.
+
+    Efficiency metric on the VIRTUAL mesh: the N virtual devices share
+    this host's physical cores, so per-device ms/step necessarily grows
+    with N (total work grows, capacity doesn't) and the naive
+    t(1)/t(N) ratio measures core contention, not SPMD quality.  The
+    meaningful number is aggregate-throughput retention
+    eff(N) = cells_per_s(N) / cells_per_s(1): with zero GSPMD partition
+    and collective overhead the shared cores would sustain the same
+    cells/s at any N.  On real multi-chip hardware (where each device
+    adds capacity) the same cells-per-s accounting turns into the
+    standard >= 80% weak-scaling target of BASELINE.md.
+    """
+    import subprocess
+
+    counts = [int(c) for c in args.sweep.split(",")]
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + f" --xla_force_host_platform_device_count="
+                          f"{max(counts)}").strip()
+    points = []
+    for n in counts:
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--devices", str(n), "--base", str(args.base),
+               "--steps", str(args.steps), "--warmup", str(args.warmup)]
+        run = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                             timeout=3600)
+        line = [ln for ln in run.stdout.splitlines()
+                if ln.startswith("{")]
+        if run.returncode != 0 or not line:
+            print(run.stdout, run.stderr, file=sys.stderr)
+            return 1
+        points.append(json.loads(line[-1]))
+        print(line[-1])
+    base_tp = points[0]["detail"]["cells_per_s"]
+    result = {
+        "metric": "weak_scaling_virtual_mesh",
+        "protocol": f"decoupled-IBPM cylinder step, {args.base}^2 f32 cells "
+                    "per device, 1->N virtual CPU devices on one host "
+                    f"({os.cpu_count()} physical cores, shared)",
+        "efficiency_throughput_retention": {
+            str(p["detail"]["n_devices"]):
+                round(p["detail"]["cells_per_s"] / base_tp, 3)
+            for p in points},
+        "caveat": "virtual 8-device mesh on shared host cores: ms/step "
+                  "grows with total work by construction; the recorded "
+                  "efficiency is aggregate cells/s retention vs 1 device "
+                  "(SPMD partition+collective overhead), the virtual-mesh "
+                  "analogue of weak-scaling efficiency.  Real multi-chip "
+                  "hardware is unavailable in this environment.",
+        "points": points,
+    }
+    path = os.path.join(REPO, "validation", "weak_scaling.json")
+    with open(path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps({"written": path,
+                      "efficiency": result["efficiency_throughput_retention"]}))
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--base", type=int, default=256,
@@ -95,7 +159,12 @@ def main() -> int:
     ap.add_argument("--warmup", type=int, default=20)
     ap.add_argument("--distributed", action="store_true",
                     help="initialize jax.distributed before anything else")
+    ap.add_argument("--sweep", type=str, default=None,
+                    help="comma list of device counts; runs each in a "
+                         "subprocess and records validation/weak_scaling.json")
     args = ap.parse_args()
+    if args.sweep:
+        return sweep(args)
 
     from petibm_tpu.parallel import maybe_initialize, process_info
     from petibm_tpu.parallel.dist import _factor2
@@ -132,14 +201,16 @@ def main() -> int:
     elapsed = time.perf_counter() - t0
 
     pid, nproc = process_info()
+    ms = elapsed / args.steps * 1e3
     result = {
         "metric": "weak_scaling_step_ms",
-        "value": round(elapsed / args.steps * 1e3, 3),
+        "value": round(ms, 3),
         "unit": "ms/step",
         "detail": {
             "platform": jax.devices()[0].platform,
             "n_devices": n_dev, "mesh": [dy, dx],
             "global_grid": [ny, nx], "cells_per_device": args.base**2,
+            "cells_per_s": round(ny * nx / (ms / 1e3), 0),
             "process": [pid, nproc], "steps": args.steps,
         },
     }

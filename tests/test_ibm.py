@@ -397,3 +397,83 @@ def test_restart_exact_with_convective_bc(tmp_path):
             np.testing.assert_array_equal(
                 np.asarray(rest["bc"][key][part]),
                 np.asarray(cont["bc"][key][part]))
+
+
+# ----------------------------------------------------------------------
+# windowed (large-body) delta engine: ibm/interp.py WindowedDeltaOp
+
+
+def test_windowed_delta_matches_factor_engine(tmp_path):
+    """The gather/scatter windowed engine and the MXU factor-matrix engine
+    are two layouts of the same operator: E and H results must agree to
+    rounding, in 2D and with a periodic direction."""
+    from petibm_tpu.ibm.interp import WindowedDeltaOp
+
+    cfg = ib_config(tmp_path)
+    mesh = StaggeredMesh(cfg)
+    pack = BodyPack(cfg, mesh)
+    X = jnp.asarray(pack.all_coords(), F64)
+    rng = np.random.default_rng(4)
+
+    a = DeltaOp(mesh, "ROMA_ET_AL_1999", F64)
+    b = WindowedDeltaOp(mesh, "ROMA_ET_AL_1999", F64)
+    wa, wb = a.windows(X), b.windows(X)
+
+    q = {"u": jnp.asarray(rng.standard_normal(mesh.shape(Field.U)), F64),
+         "v": jnp.asarray(rng.standard_normal(mesh.shape(Field.V)), F64)}
+    np.testing.assert_allclose(np.asarray(a.interpolate(q, wa)),
+                               np.asarray(b.interpolate(q, wb)),
+                               rtol=0, atol=1e-12)
+    f = jnp.asarray(rng.standard_normal((X.shape[0], 2)), F64)
+    ha, hb = a.spread(f, wa), b.spread(f, wb)
+    for k in ("u", "v"):
+        np.testing.assert_allclose(np.asarray(ha[k]), np.asarray(hb[k]),
+                                   rtol=0, atol=1e-12)
+    # the shared banded reductions (diag(E B1 H) etc.) agree per layout
+    for c in range(2):
+        for d in range(2):
+            sa = jnp.sum(wa[c]["sd"][d] * wa[c]["sv"][d], axis=1)
+            sb = jnp.sum(wb[c]["sd"][d] * wb[c]["sv"][d], axis=1)
+            np.testing.assert_allclose(np.asarray(sa), np.asarray(sb),
+                                       rtol=0, atol=1e-13)
+
+
+def test_windowed_delta_solver_equivalence(tmp_path):
+    """A short decoupled-IBPM run with deltaEngine forced to 'windowed'
+    (matrix-free Krylov forces) matches the factor-engine run."""
+    os.makedirs(tmp_path / "a", exist_ok=True)
+    os.makedirs(tmp_path / "b", exist_ok=True)
+    # tight tolerances: the windowed run solves forces with matrix-free
+    # Krylov (no dense blocks), so loose defaults would leave a
+    # tolerance-level gap between the two runs rather than an
+    # operator-level one
+    tight = {"forcesSolver": {"type": "CPU", "atol": 1e-12},
+             "velocitySolver": {"type": "CPU", "atol": 1e-12},
+             "poissonSolver": {"type": "CPU", "atol": 1e-12}}
+    cfg_a = ib_config(tmp_path / "a", solver_extra=tight)
+    cfg_b = ib_config(tmp_path / "b", solver_extra=tight)
+    cfg_a["parameters"]["forcesSolver"]["dense"] = False
+    cfg_b["parameters"]["deltaEngine"] = "windowed"
+    sa = DecoupledIBPMSolver(cfg_a)
+    sb = DecoupledIBPMSolver(cfg_b)
+    assert not sa.delta.windowed and sb.delta.windowed
+    for _ in range(3):
+        sa.state, _ = sa._step_fn(sa.state)
+        sb.state, _ = sb._step_fn(sb.state)
+    np.testing.assert_allclose(np.asarray(sb.state["q"]["u"]),
+                               np.asarray(sa.state["q"]["u"]), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(sb.state["f"]),
+                               np.asarray(sa.state["f"]), atol=1e-6)
+    sa.close(), sb.close()
+
+
+def test_windowed_delta_auto_threshold(tmp_path):
+    from petibm_tpu.ibm.interp import (WINDOWED_THRESHOLD, WindowedDeltaOp,
+                                       make_delta_op)
+
+    cfg = ib_config(tmp_path)
+    mesh = StaggeredMesh(cfg)
+    small = make_delta_op(mesh, n_pts=100)
+    big = make_delta_op(mesh, n_pts=WINDOWED_THRESHOLD + 1)
+    assert not small.windowed
+    assert isinstance(big, WindowedDeltaOp)
