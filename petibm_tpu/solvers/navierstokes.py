@@ -560,15 +560,18 @@ class NavierStokesSolver:
                 ("update", update)]
 
     def profile_stages(self, steps: int = 10, warmup: int = 3,
-                       path: str | None = None) -> dict:
+                       path: str | None = None, repeat: int = 8) -> dict:
         """Per-phase device-time breakdown of the time step; see
         utils/profiling.py.  Writes the stage table to
-        logs/stages-<start>.txt (or ``path``) and returns {phase: ms}."""
+        logs/stages-<start>.txt (or ``path``) and returns {phase: ms}.
+        ``repeat``: in-program amplification per prefix (raise it when
+        phases are far below the host round trip)."""
         from ..utils.profiling import profile_stages
 
         if path is None:
             path = os.path.join(self.logs_dir, f"stages-{self.ite}.txt")
-        return profile_stages(self, steps=steps, warmup=warmup, path=path)
+        return profile_stages(self, steps=steps, warmup=warmup, path=path,
+                              repeat=repeat)
 
     # ------------------------------------------------------------------
     def advance(self) -> None:

@@ -34,6 +34,8 @@ from .decoupledibpm import DecoupledIBPMSolver
 
 
 class RigidKinematicsSolver(DecoupledIBPMSolver):
+    _moving_bodies = True  # windows recomputed inside the jitted step
+
     def _extra_init(self, config: dict) -> None:
         super()._extra_init(config)
         self.coords0 = jnp.asarray(self.bodies.all_coords(), self.dtype)
