@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -99,15 +100,23 @@ class PoissonMG:
     def __init__(self, dxp: list[np.ndarray], periodic: list[bool],
                  dtype=jnp.float32, scale: float = 1.0, pre: int = 2,
                  post: int = 2, omega: float = 1.0, coarse_sweeps: int = 10,
-                 min_size: int = 3):
+                 min_size: int = 3, consolidate_below: int = 4096):
         """``dxp``: pressure cell widths per direction (x, y[, z]);
         ``scale``: dt factor of B1 (kept for operator parity; CG is
-        invariant to preconditioner scaling)."""
+        invariant to preconditioner scaling); ``consolidate_below``: under
+        sharding (see :meth:`set_mesh`), levels with at most this many
+        cells run fully replicated (redundant coarse solve) instead of
+        sharded — the distributed-MG coarse-level fix (a 6x6 level sharded
+        over 8 devices is pure halo-exchange latency; the reference
+        delegates the same problem to AmgX's rank consolidation,
+        linsolveramgx.cpp:54-126)."""
         self.dim = len(dxp)
         self.dtype = dtype
         self.pre, self.post = pre, post
         self.omega = omega
         self.coarse_sweeps = coarse_sweeps
+        self.consolidate_below = int(consolidate_below)
+        self.sharding_mesh = None  # set_mesh() activates consolidation
         # line-smoother tridiagonal backend: PCR's log2(n) vectorized
         # passes are ~17x faster than the sequential Thomas recurrence on
         # TPU, while CPU's LAPACK-backed lax solver wins on host runs
@@ -349,6 +358,28 @@ class PoissonMG:
             out = _axslice(out, axis, 0, n)
         return out
 
+    def set_mesh(self, mesh) -> None:
+        """Activate sharded execution: levels above ``consolidate_below``
+        cells carry ("dy","dx") sharding constraints; levels at or below
+        it are constrained fully replicated, so every device redundantly
+        runs the tiny coarse grids with ONE all-gather at the
+        consolidation boundary instead of halo exchanges on every sweep."""
+        self.sharding_mesh = mesh
+
+    def _constrain(self, lvl: int, x):
+        if self.sharding_mesh is None:
+            return x
+        import math
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if math.prod(self.levels[lvl].shape) <= self.consolidate_below:
+            spec = P()  # replicate: redundant coarse compute, no comms
+        else:
+            spec = P(*([None] * (x.ndim - 2) + ["dy", "dx"]))
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.sharding_mesh, spec))
+
     def vcycle(self, lvl: int, rhs):
         """One V-cycle solving (apply_op) e = rhs from a zero initial guess."""
         phi = jnp.zeros(self.levels[lvl].shape, self.dtype)
@@ -356,8 +387,9 @@ class PoissonMG:
             return self.smooth(lvl, phi, rhs, self.coarse_sweeps)
         phi = self.smooth(lvl, phi, rhs, self.pre)
         r = rhs - self.apply_op(lvl, phi)
-        ec = self.vcycle(lvl + 1, self.restrict(lvl, r))
-        phi = phi + self.prolong(lvl + 1, ec)
+        ec = self.vcycle(lvl + 1, self._constrain(lvl + 1,
+                                                  self.restrict(lvl, r)))
+        phi = phi + self._constrain(lvl, self.prolong(lvl + 1, ec))
         return self.smooth(lvl, phi, rhs, self.post)
 
     def preconditioner(self, remove_mean: bool = True):

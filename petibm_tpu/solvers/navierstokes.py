@@ -390,10 +390,16 @@ class NavierStokesSolver:
                 pre=int(mg_params.get("pre", 1)),
                 post=int(mg_params.get("post", 1)),
                 omega=float(mg_params.get("omega", 1.0)),
-                coarse_sweeps=int(mg_params.get("coarseSweeps", 10)))
+                coarse_sweeps=int(mg_params.get("coarseSweeps", 10)),
+                consolidate_below=int(mg_params.get("consolidateBelow",
+                                                    4096)))
             self.poisson_mg = PoissonMG(
                 self.mesh.dxp, self.mesh.periodic, dtype=self.dtype,
                 **mg_knobs)
+            if self.sharding_mesh is not None:
+                # distributed MG: replicate the tiny coarse levels
+                # (redundant coarse solve) instead of sharding them
+                self.poisson_mg.set_mesh(self.sharding_mesh)
             fdm = getattr(self, "poisson_fdm", None)
             if fdm is not None:
                 if getattr(self, "_fdm_mode", "pcg") == "direct":
@@ -419,6 +425,8 @@ class NavierStokesSolver:
                 self.poisson_mg_lp = PoissonMG(
                     self.mesh.dxp, self.mesh.periodic, dtype=lp_dtype,
                     **mg_knobs)
+                if self.sharding_mesh is not None:
+                    self.poisson_mg_lp.set_mesh(self.sharding_mesh)
                 mg_lp, remove_mean = self.poisson_mg_lp, not self.is_ref_p
                 out_dtype = self.dtype
 

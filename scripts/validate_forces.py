@@ -298,9 +298,96 @@ def case_re3000(args) -> None:
     _case_kl_cylinder(args, "re3000", 3000, rms_tol=0.08, max_tol=0.16)
 
 
+def case_flatplate(args) -> None:
+    """3D flat-plate (AR=2, Re=100) AoA sweep: time-averaged Cd/Cl vs the
+    experimental data of Dickinson vendored by the reference
+    (examples/data/taira_et_al_2007_flatPlateRe100AR2_{Cd,Cl}vsAoA.dat;
+    reference example: examples/decoupledibpm/flatplate3dRe100AoA30_GPU,
+    doc/markdowns/examples3d.md).  The reference's convention: forces ARE
+    the coefficients (0.5*rho*U^2*c*AR = 1), averaged over t in [15, 20]
+    (plotForceCoefficients.py:20-27).  All angles reuse one compiled
+    program — body coordinates are data, not shapes."""
+    import math
+
+    from petibm_tpu.config import load_config
+    from petibm_tpu.solvers.decoupledibpm import DecoupledIBPMSolver
+
+    directory = os.path.join(REPO, "examples", "decoupledibpm",
+                             "flatplate3dRe100")
+    angles = [float(a) for a in (args.angles or "0,10,20,30,40").split(",")]
+    chord, ar, ds = 1.0, 2.0, 0.04
+
+    def write_body(path, aoa):
+        # identical point layout to the reference's createBody.py
+        n = math.ceil(chord / ds)
+        s = np.linspace(-chord / 2, chord / 2, num=n + 1)
+        x = np.cos(np.radians(-aoa)) * s
+        y = np.sin(np.radians(-aoa)) * s
+        nz = math.ceil(chord * ar / ds)
+        z = np.linspace(-chord * ar / 2, chord * ar / 2, num=nz + 1)
+        with open(path, "w") as fh:
+            fh.write(f"{x.size * z.size}\n")
+            for zi in z:
+                for xi, yi in zip(x, y):
+                    fh.write(f"{xi:.16e}\t{yi:.16e}\t{zi:.16e}\n")
+
+    tp_cd = np.loadtxt(os.path.join(
+        REPO, "examples", "data",
+        "taira_et_al_2007_flatPlateRe100AR2_CdvsAoA.dat"), unpack=True)
+    tp_cl = np.loadtxt(os.path.join(
+        REPO, "examples", "data",
+        "taira_et_al_2007_flatPlateRe100AR2_ClvsAoA.dat"), unpack=True)
+
+    points, worst = [], 0.0
+    for aoa in angles:
+        cfg = load_config(directory=directory)
+        out = os.path.join(directory, "output", f"aoa{int(aoa)}")
+        cfg["output"] = out
+        cfg["logs"] = os.path.join(out, "logs")
+        body = os.path.join(out, "flatplate.body")
+        os.makedirs(out, exist_ok=True)
+        write_body(body, aoa)
+        cfg["bodies"] = [{"type": "points", "file": body}]
+        cfg["parameters"].update({
+            "nsave": 100000, "nrestart": 1000000,
+            "dtype": args.dtype, "stepsPerDispatch": args.chunk})
+        if args.nt:
+            cfg["parameters"]["nt"] = args.nt
+        solver, setup_s, run_s = run(cfg, DecoupledIBPMSolver)
+        data = read_forces(out)
+        t, cd, cl = data[:, 0], data[:, 1], data[:, 2]
+        sel = (t >= 15.0) & (t <= 20.0)
+        if not sel.any():
+            sel = t >= 0.75 * t[-1]
+        cd_m, cl_m = float(np.mean(cd[sel])), float(np.mean(cl[sel]))
+        cd_pub = float(np.interp(aoa, tp_cd[0], tp_cd[1]))
+        cl_pub = float(np.interp(aoa, tp_cl[0], tp_cl[1]))
+        dev = max(abs(cd_m - cd_pub), abs(cl_m - cl_pub))
+        worst = max(worst, dev)
+        points.append({"aoa": aoa, "cd": round(cd_m, 4),
+                       "cl": round(cl_m, 4),
+                       "cd_published": round(cd_pub, 4),
+                       "cl_published": round(cl_pub, 4),
+                       "max_abs_dev": round(dev, 4),
+                       "ms_per_step": round(run_s / len(t) * 1e3, 2)})
+        print(json.dumps(points[-1]))
+    result = {
+        "case": "flatplate3dRe100_aoa_sweep_decoupledibpm",
+        "grid": "127x56x84 stretched (reference-identical)",
+        "points": points,
+        "worst_abs_dev": round(worst, 4),
+        "target": "time-averaged Cd/Cl within 0.15 of the Dickinson "
+                  "experimental curve (Taira et al. 2007) at every AoA",
+        "pass": bool(worst <= 0.15),
+        "detail": {"angles": angles, "avg_window": "t in [15, 20]"},
+    }
+    emit("flatplate", result)
+
+
 CASES = {"re40": case_re40, "re200": case_re200,
          "oscillating": case_oscillating, "sphere300": case_sphere300,
-         "re550": case_re550, "re3000": case_re3000}
+         "re550": case_re550, "re3000": case_re3000,
+         "flatplate": case_flatplate}
 
 
 def main() -> int:
@@ -310,6 +397,8 @@ def main() -> int:
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--chunk", type=int, default=50,
                     help="stepsPerDispatch")
+    ap.add_argument("--angles", default=None,
+                    help="flatplate: comma list of AoA degrees")
     args = ap.parse_args()
     CASES[args.case](args)
     return 0

@@ -181,3 +181,40 @@ def test_mixed_precision_vcycle_preconditioner(tmp_path):
                                np.asarray(sa.state["q"]["u"]),
                                rtol=0, atol=5e-6)
     sa.close(), sb.close()
+
+
+def test_sharded_mg_coarse_consolidation_equivalence():
+    """Distributed MG with replicated (consolidated) coarse levels matches
+    the unsharded solve bit-for-tolerance: consolidation only changes the
+    layout, never the math (the AmgX rank-consolidation analogue,
+    linsolveramgx.cpp:54-126)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from petibm_tpu.linalg.krylov import cg
+
+    n = 64
+    dxp = [np.full(n, 1.0 / n), np.full(n, 1.0 / n)]
+    rng = np.random.default_rng(2)
+    b0 = rng.standard_normal((n, n))
+    b0 -= b0.mean()
+
+    def solve(mesh_devices):
+        mg = PoissonMG(dxp, [False, False], dtype=F64, scale=0.01,
+                       consolidate_below=256)
+        b = jnp.asarray(b0)
+        if mesh_devices is not None:
+            mesh = Mesh(mesh_devices, ("dy", "dx"))
+            mg.set_mesh(mesh)
+            b = jax.device_put(b, NamedSharding(mesh, P("dy", "dx")))
+        res = jax.jit(lambda b: cg(lambda p: mg.apply_op(0, p), b,
+                                   jnp.zeros_like(b),
+                                   M=mg.preconditioner(),
+                                   atol=1e-10, maxiter=200))(b)
+        return np.asarray(res.x), int(res.iters)
+
+    x1, it1 = solve(None)
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    x8, it8 = solve(devs)
+    np.testing.assert_allclose(x8 - x8.mean(), x1 - x1.mean(), atol=1e-9)
+    assert abs(it8 - it1) <= 1  # same preconditioner quality

@@ -143,3 +143,15 @@ def test_cavity_re1000_ghia_centerlines():
          "-directory", case, "--re", "1000", "--tol", "0.03"],
         env=env, capture_output=True, text=True, timeout=300)
     assert check.returncode == 0, check.stdout + check.stderr
+
+
+def test_recorded_flatplate_aoa_sweep():
+    """3D flat-plate (AR=2, Re=100) AoA sweep: time-averaged Cd/Cl within
+    0.15 of the Dickinson experimental data vendored by the reference
+    (Taira et al. 2007; examples3d.md)."""
+    r = _recorded("flatplate")
+    assert len(r["points"]) >= 4, r
+    assert r["worst_abs_dev"] <= 0.15, r
+    # lift must track closely in the attached/pre-stall range
+    for p in r["points"]:
+        assert abs(p["cl"] - p["cl_published"]) <= 0.06, p
