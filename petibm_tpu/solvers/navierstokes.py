@@ -307,10 +307,7 @@ class NavierStokesSolver:
                     "disablePallas", False))):
             from ..operators.pallas_stencil import make_pallas_poisson
 
-            fused = make_pallas_poisson(
-                self.poisson_mg,
-                tiled=bool(config.get("parameters", {}).get("pallasTiled",
-                                                            False)))
+            fused = make_pallas_poisson(self.poisson_mg)
             if fused is not None:
                 negA_p = fused
                 self._negA_p = fused

@@ -127,17 +127,18 @@ def main():
 
         from petibm_tpu.operators.pallas_stencil import make_pallas_poisson
 
-        fused = make_pallas_poisson(mg, tiled=True)
+        fused = make_pallas_poisson(mg)
         t_pl = bench_apply(jax.jit(fused), phi) if fused is not None else None
 
         if fused is None:
             results.append({
                 "metric": f"poisson_spmv_{name}_pallas",
                 "value": None, "unit": "Gnnz/s",
-                "detail": {"declined": "no kernel applies (whole-array "
-                           "exceeds VMEM and no viable double-buffered "
-                           "slab split fits the budget); XLA streaming "
-                           "stencil is used instead"},
+                "detail": {"declined": "whole-array live set exceeds "
+                           "the verified VMEM cap; XLA streaming "
+                           "stencil is used instead (the tiled Pallas "
+                           "variants were deleted after losing to XLA "
+                           "- see pallas_stencil.py)"},
             })
         for label, t in (("xla", t_xla), ("pallas", t_pl)):
             if t is None:

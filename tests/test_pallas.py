@@ -1,5 +1,6 @@
-"""Pallas DIA stencil kernel tests (interpret mode on CPU): the fused
-5-point apply must match the matrix-free Poisson operator exactly."""
+"""Pallas stencil kernel tests (interpret mode on CPU): the fused
+whole-array separable apply must match the matrix-free Poisson operator
+exactly, and the dispatcher must decline everything else."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -48,34 +49,6 @@ def _random_mg(shape_xy, seed=0, dim_widths=None):
     return mg, phi
 
 
-def test_pallas_tiled_2d_matches_operator():
-    from petibm_tpu.operators.pallas_stencil import poisson_apply_2d_tiled
-    from petibm_tpu.operators.pallas_stencil import dia_coefficients
-
-    mg, phi = _random_mg([24, 32])  # ny=32: blocks must be multiples of 8
-    coeffs = dia_coefficients(mg.levels[0])
-    want = np.asarray(mg.apply_op(0, phi))
-    got = poisson_apply_2d_tiled(phi, *coeffs, bs=8, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12, atol=1e-13)
-    # two-block split: first and last block, no interior
-    got2 = poisson_apply_2d_tiled(phi, *coeffs, bs=16, interpret=True)
-    np.testing.assert_allclose(np.asarray(got2), want, rtol=1e-12, atol=1e-13)
-
-
-def test_pallas_3d_full_and_tiled_match_operator():
-    from petibm_tpu.operators.pallas_stencil import (
-        dia_coefficients, poisson_apply_3d, poisson_apply_3d_tiled)
-
-    mg, phi = _random_mg([10, 12, 32])  # nz=32
-    coeffs = dia_coefficients(mg.levels[0])
-    want = np.asarray(mg.apply_op(0, phi))
-    got = poisson_apply_3d(phi, *coeffs, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12, atol=1e-13)
-    got_t = poisson_apply_3d_tiled(phi, *coeffs, bs=8, interpret=True)
-    np.testing.assert_allclose(np.asarray(got_t), want, rtol=1e-12,
-                               atol=1e-13)
-
-
 def test_make_pallas_poisson_dispatch(monkeypatch):
     import petibm_tpu.operators.pallas_stencil as ps
 
@@ -87,14 +60,12 @@ def test_make_pallas_poisson_dispatch(monkeypatch):
     np.testing.assert_allclose(np.asarray(fn(phi)), want, rtol=1e-12,
                                atol=1e-13)
     with monkeypatch.context() as mp:
-        # 300k: separable whole-array (5 arrays, 327k) and DIA whole-array
-        # (7 arrays) both exceed it -> 2D falls to the opt-in tiled path
+        # 300k: the whole-array live set (5 arrays, 327k) exceeds it ->
+        # no kernel; XLA's streaming stencil owns larger-than-VMEM grids
+        # (the tiled variants were deleted after losing to XLA, see
+        # pallas_stencil.py's module docstring)
         mp.setattr(ps, "_VMEM_BUDGET", 300_000)
-        assert ps.make_pallas_poisson(mg, interpret=True) is None  # opt-in
-        fn_t = ps.make_pallas_poisson(mg, interpret=True, tiled=True)
-        assert fn_t is not None
-        np.testing.assert_allclose(np.asarray(fn_t(phi)), want, rtol=1e-12,
-                                   atol=1e-13)
+        assert ps.make_pallas_poisson(mg, interpret=True) is None
     # 3D dispatch (small enough for the whole-array kernel)
     mg3, phi3 = _random_mg([10, 12, 32])
     fn3 = ps.make_pallas_poisson(mg3, interpret=True)
@@ -123,8 +94,8 @@ def test_solver_with_pallas_matches_without(tmp_path):
 
 
 def test_separable_kernels_match_operator():
-    """Separable-coefficient kernels (whole-array 2D/3D and z-slab tiled
-    3D) against the matrix-free operator."""
+    """Whole-array separable kernel (2D and 3D) against the matrix-free
+    operator."""
     import petibm_tpu.operators.pallas_stencil as ps
 
     for ns in ([48, 32], [12, 10, 32]):
@@ -133,35 +104,4 @@ def test_separable_kernels_match_operator():
         want = np.asarray(mg.apply_op(0, phi))
         got = ps.poisson_apply_separable(phi, aux, interpret=True)
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12,
-                                   atol=1e-13)
-    # tiled 3D: divisible blocks incl. the 2-block first/last-only split
-    mg, phi = _random_mg([12, 10, 32])  # shape (32, 10, 12)
-    aux = ps.separable_aux(mg.levels[0])
-    want = np.asarray(mg.apply_op(0, phi))
-    for bs in (4, 5, 8, 16):  # 5: partial edge block
-        got = ps.poisson_apply_separable_tiled_3d(phi, aux, bs=bs,
-                                                  interpret=True)
-        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12,
-                                   atol=1e-13, err_msg=f"bs={bs}")
-
-
-def test_separable_dispatch_preference(monkeypatch):
-    """make_pallas_poisson prefers the separable kernels: whole-array when
-    it fits, the z-slab tiled variant for larger 3D."""
-    import petibm_tpu.operators.pallas_stencil as ps
-
-    mg, phi = _random_mg([12, 10, 32])
-    want = np.asarray(mg.apply_op(0, phi))
-    fn = ps.make_pallas_poisson(mg, interpret=True)
-    assert fn is not None
-    np.testing.assert_allclose(np.asarray(fn(phi)), want, rtol=1e-12,
-                               atol=1e-13)
-    with monkeypatch.context() as mp:
-        mp.setattr(ps, "_VMEM_BUDGET", 5 * 12 * 10 * 32 * 8 // 2)
-        # larger-than-VMEM 3D: the z-blocked separable kernel is opt-in
-        # (XLA's streaming stencil measured faster at sphere scale)
-        assert ps.make_pallas_poisson(mg, interpret=True) is None
-        fn_t = ps.make_pallas_poisson(mg, interpret=True, tiled=True)
-        assert fn_t is not None  # the tiled separable path
-        np.testing.assert_allclose(np.asarray(fn_t(phi)), want, rtol=1e-12,
                                    atol=1e-13)
