@@ -376,7 +376,9 @@ class PoissonMG:
         if math.prod(self.levels[lvl].shape) <= self.consolidate_below:
             spec = P()  # replicate: redundant coarse compute, no comms
         else:
-            spec = P(*([None] * (x.ndim - 2) + ["dy", "dx"]))
+            from ..parallel.dist import _leaf_spec
+
+            spec = _leaf_spec(x, self.sharding_mesh)
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(self.sharding_mesh, spec))
 

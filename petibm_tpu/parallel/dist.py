@@ -36,10 +36,16 @@ def device_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices).reshape(a, b), ("dy", "dx"))
 
 
-def _leaf_spec(leaf) -> P:
+def _leaf_spec(leaf, mesh: Mesh | None = None) -> P:
     """PartitionSpec for one state leaf: shard the trailing two axes of
-    2D/3D field arrays; replicate 1D/scalar leaves (BC faces, stats)."""
+    field arrays over ("dy","dx") — plus the z axis over "dz" when the
+    mesh carries that axis (3-axis meshes, see mesh_from_config) — and
+    replicate 1D/scalar leaves (BC faces, stats).  2D arrays on a 3-axis
+    mesh stay replicated along "dz"."""
     ndim = getattr(leaf, "ndim", 0)
+    has_dz = mesh is not None and "dz" in mesh.axis_names
+    if ndim >= 3 and has_dz:
+        return P(*([None] * (ndim - 3) + ["dz", "dy", "dx"]))
     if ndim >= 2:
         return P(*([None] * (ndim - 2) + ["dy", "dx"]))
     return P()
@@ -47,7 +53,7 @@ def _leaf_spec(leaf) -> P:
 
 def state_shardings(mesh: Mesh, state):
     return jax.tree_util.tree_map(
-        lambda leaf: NamedSharding(mesh, _leaf_spec(leaf)), state)
+        lambda leaf: NamedSharding(mesh, _leaf_spec(leaf, mesh)), state)
 
 
 def shard_state(mesh: Mesh, state):
@@ -66,7 +72,7 @@ def constrain_state(mesh: Mesh, state):
     """
     return jax.tree_util.tree_map(
         lambda leaf: jax.lax.with_sharding_constraint(
-            leaf, NamedSharding(mesh, _leaf_spec(leaf))), state)
+            leaf, NamedSharding(mesh, _leaf_spec(leaf, mesh))), state)
 
 
 # solver-state keys holding Eulerian grid fields (sharded); everything else
@@ -102,9 +108,10 @@ def mesh_from_config(node: dict | None) -> Mesh | None:
 
     Keys (all optional): ``nDevices`` (default: all), ``platform`` (restrict
     to a backend, e.g. ``cpu`` for the virtual test mesh), ``shape``
-    ([dy, dx] process grid, default near-square).  Returns None when the
-    node is absent or selects a single device (sharding then adds pure
-    overhead)."""
+    ([dy, dx] — or [dz, dy, dx] for a 3-axis mesh that decomposes the z
+    direction too, the layout a >= 2-host 3D pod run wants).  Returns None
+    when the node is absent or selects a single device (sharding then adds
+    pure overhead)."""
     if not node:
         return None
     if node.get("platform"):
@@ -119,10 +126,14 @@ def mesh_from_config(node: dict | None) -> Mesh | None:
     if len(devices) < 2:
         return None
     if node.get("shape"):
-        a, b = (int(v) for v in node["shape"])
-        if a * b != len(devices):
+        dims = [int(v) for v in node["shape"]]
+        if math.prod(dims) != len(devices):
             raise ValueError(
-                f"sharding.shape {a}x{b} != nDevices {len(devices)}")
+                f"sharding.shape {dims} != nDevices {len(devices)}")
+        names = ("dy", "dx") if len(dims) == 2 else ("dz", "dy", "dx")
+        if len(dims) not in (2, 3):
+            raise ValueError("sharding.shape wants 2 or 3 entries")
     else:
-        a, b = _factor2(len(devices))
-    return Mesh(np.asarray(devices).reshape(a, b), ("dy", "dx"))
+        dims = list(_factor2(len(devices)))
+        names = ("dy", "dx")
+    return Mesh(np.asarray(devices).reshape(dims), names)
