@@ -142,23 +142,141 @@ class FastDiagPoisson:
         return self._transform(self._Q, bhat * self.inv_lam)
 
 
-def make_fdm_solver(fdm: FastDiagPoisson, A, opts: dict):
+class FastDiagHelmholtz:
+    """Direct fast-diagonalization solver for one velocity component's
+    Helmholtz operator  A = I/dt - c_imp*nu*L  (the implicit momentum
+    system, navierstokes.cpp:317-330).
+
+    The BC-folded homogeneous Laplacian L is an exact Kronecker sum of 1D
+    operators T_d (coefficients 1/(dneg*dl), 1/(dpos*dl) from the
+    component's grid lines; the static per-face a0 ghost fold only
+    modifies the end diagonals; periodic directions wrap) — the same
+    separability the pressure solve exploits, plus a 1/dt shift that
+    makes the operator SPD with no nullspace.  Each T_d is symmetric
+    under the W_d = diag(dl) weighting, so T_d = Q_d Lam_d Q_d^{-1} with
+    Q_d = W^-1/2 V_d and Q_d^{-1} = V_d^T W^1/2 (NOT Q^T — the forward
+    and backward transforms differ, unlike the conservative pressure
+    operator).  A solve is: transform by Q^-1, divide by
+    1/dt - c_imp*nu*lam_sum, transform back — dense MXU matmuls.
+
+    Used as the (near-exact) preconditioner of the velocity Krylov solve:
+    CG/BiCGStab then converges in ~1 iteration instead of 3-6 with
+    Jacobi, and the stopping semantics stay KSP-identical.
+    """
+
+    def __init__(self, lines1d: list[dict], dt: float, cnu: float,
+                 dtype=jnp.float32, precision: str = "highest"):
+        """``lines1d``: per direction d a dict with keys ``dl`` (n,),
+        ``dneg`` (n,), ``dpos`` (n,), ``a0`` ((lo, hi) or None when
+        periodic), ``periodic`` (bool); ``cnu`` = c_implicit * nu."""
+        self.dim = len(lines1d)
+        self.dtype = dtype
+        self.precision = jax.lax.Precision(
+            {"highest": "highest", "default": "default",
+             "high": "high"}[str(precision).lower()])
+
+        qs, qinvs, lams = [], [], []
+        for ln in lines1d:
+            dl = np.asarray(ln["dl"], np.float64)
+            dneg = np.asarray(ln["dneg"], np.float64)
+            dpos = np.asarray(ln["dpos"], np.float64)
+            n = len(dl)
+            cn = 1.0 / (dneg * dl)
+            cp = 1.0 / (dpos * dl)
+            T = np.zeros((n, n))
+            idx = np.arange(n)
+            T[idx, idx] = -(cn + cp)
+            T[idx[1:], idx[:-1]] = cn[1:]
+            T[idx[:-1], idx[1:]] = cp[:-1]
+            if ln["periodic"]:
+                T[0, -1] += cn[0]
+                T[-1, 0] += cp[-1]
+            else:
+                a0_lo, a0_hi = ln["a0"]
+                T[0, 0] += a0_lo * cn[0]      # ghost = a0 * target fold
+                T[-1, -1] += a0_hi * cp[-1]
+            # W-weighted symmetry: W^1/2 T W^-1/2 is symmetric
+            s = np.sqrt(dl)
+            S = T * (s[:, None] / s[None, :])
+            asym = np.abs(S - S.T).max()
+            if asym > 1e-10 * max(1.0, np.abs(S).max()):
+                raise ValueError(
+                    f"velocity 1D operator not W-symmetric (dev {asym:g})")
+            S = 0.5 * (S + S.T)
+            lam, V = np.linalg.eigh(S)
+            qs.append(jnp.asarray(V / s[:, None], dtype))       # W^-1/2 V
+            qinvs.append(jnp.asarray((V * s[:, None]).T, dtype))  # V^T W^1/2
+            lams.append(lam)
+
+        shape = tuple(reversed([len(np.asarray(ln["dl"]))
+                                for ln in lines1d]))
+        lam_sum = np.zeros(shape)
+        for d, lam in enumerate(lams):
+            bshape = [1] * self.dim
+            bshape[self.dim - 1 - d] = len(lam)
+            lam_sum = lam_sum + lam.reshape(bshape)
+        denom = 1.0 / dt - cnu * lam_sum  # lam <= 0 -> denom >= 1/dt > 0
+        self.inv_lam = jnp.asarray(1.0 / denom, dtype)
+        self._Q = qs
+        self._Qinv = qinvs
+
+    def _transform(self, mats: list, x):
+        for d in range(self.dim):
+            axis = self.dim - 1 - d
+            x = jnp.moveaxis(
+                jnp.tensordot(mats[d], x, axes=((1,), (axis,)),
+                              precision=self.precision), 0, axis)
+        return x
+
+    def solve(self, b):
+        bhat = self._transform(self._Qinv, b.astype(self.dtype))
+        return self._transform(self._Q, bhat * self.inv_lam)
+
+
+def helmholtz_lines(mesh, bcset, c: int) -> list[dict]:
+    """Extract the per-direction 1D data of velocity component ``c``'s
+    folded Laplacian (the same coefficients make_laplacian bakes into its
+    stencil closures, operators/stencil.py:118-129)."""
+    from ..types import Field
+
+    out = []
+    for d in range(mesh.dim):
+        line = mesh.lines[Field(c)][d]
+        if mesh.periodic[d]:
+            a0 = None
+        else:
+            a0 = (bcset.specs[(c, 2 * d + 0)].a0,
+                  bcset.specs[(c, 2 * d + 1)].a0)
+        out.append({"dl": line.interior_dl, "dneg": line.dneg(),
+                    "dpos": line.dpos(), "a0": a0,
+                    "periodic": bool(mesh.periodic[d])})
+    return out
+
+
+def make_fdm_solver(fdm, A, opts: dict):
     """Direct solve + iterative refinement with KSP stopping semantics.
 
-    ``A`` is the (negated, PSD) Poisson operator used for the residual —
-    typically the fused Pallas apply.  Returns ``solve(b, x0) ->
+    ``fdm`` is any object with a ``solve(b)`` pytree->pytree (near-)exact
+    inverse (FastDiagPoisson on a pressure array, or a per-component
+    FastDiagHelmholtz dict for the momentum system); ``A`` the matching
+    operator used for the TRUE residual.  Returns ``solve(b, x0) ->
     SolveResult``; ``x0`` is ignored (direct methods need no initial
-    guess).  A stagnation exit (residual shrinking by < 10% per pass)
-    reports non-convergence instead of looping to max_it, the analogue of
+    guess).  Convergence is always judged on the true residual, which
+    makes this valid even where the transform inverse is only
+    W-symmetric (plain CG with such a preconditioner silently
+    misconverges — caught by tests/test_fdm.py).  A stagnation exit
+    (residual shrinking by < 10% per pass) reports non-convergence
+    instead of looping to max_it, the analogue of
     KSP_DIVERGED_BREAKDOWN."""
     atol = float(opts.get("atol", 1e-6))
     rtol = float(opts.get("rtol", 0.0))
     maxiter = int(opts.get("max_it", 10000))
+    tmap = jax.tree_util.tree_map
 
     def solve(b, x0):
         del x0
         x = fdm.solve(b)
-        r = b - A(x)
+        r = tmap(lambda bi, ax: bi - ax, b, A(x))
         tol = jnp.maximum(atol, rtol * _norm(b))
         rnorm = _norm(r)
 
@@ -168,8 +286,8 @@ def make_fdm_solver(fdm: FastDiagPoisson, A, opts: dict):
 
         def body(state):
             x, r, rn, _, it = state
-            x = x + fdm.solve(r)
-            r = b - A(x)
+            x = tmap(lambda xi, di: xi + di, x, fdm.solve(r))
+            r = tmap(lambda bi, ax: bi - ax, b, A(x))
             return x, r, _norm(r), rn, it + 1
 
         big = jnp.asarray(np.inf, rnorm.dtype)

@@ -254,14 +254,56 @@ class NavierStokesSolver:
         popts = solver_config(config, "poisson")
         mesh, dtype = self.mesh, self.dtype
 
-        # Jacobi preconditioners from probed exact diagonals
+        # velocity preconditioner: fast-diagonalization Helmholtz inverse
+        # (the implicit operator is an exact Kronecker sum per component,
+        # linalg/fdm.py FastDiagHelmholtz) — the Krylov solve then takes
+        # ~1 iteration.  Jacobi fallback for pc: jacobi, fully-explicit
+        # diffusion (where A = I/dt is diagonal anyway), or fdm: false.
         q = self.state["q"]
-        diag_mom = extract_diagonal(self.A_momentum, tmap(jnp.zeros_like, q),
-                                    radius=1)
-        M_mom = ((lambda r: tmap(lambda a, b: a / b, r, diag_mom))
-                 if vopts.get("pc") != "none" else None)
+        params2 = config.get("parameters", {})
+        fdm_cfg = params2.get("fdm", {})
+        if fdm_cfg is False:
+            fdm_cfg = {"enabled": False}
+        elif not isinstance(fdm_cfg, dict):
+            fdm_cfg = {}
+        cnu = self.diff_ti.implicit_coeff * self.nu
+        want_vfdm = (bool(fdm_cfg.get("enabled", True))
+                     and bool(fdm_cfg.get("velocity", True))
+                     and cnu > 0.0 and vopts.get("pc") != "none")
+        if want_vfdm:
+            # direct solve + true-residual refinement: the Helmholtz
+            # inverse is only W-symmetric, so it is NOT a valid plain-CG
+            # preconditioner (silent misconvergence — see fdm.py); the
+            # refinement solver judges convergence on the true residual
+            # and, with kappa(A) ~ 1 + dt*c*nu*lam_max (the 1/dt shift
+            # dominates), converges in 0-1 passes even in f32
+            from ..linalg.fdm import (FastDiagHelmholtz, helmholtz_lines,
+                                      make_fdm_solver)
 
-        self.v_solver = make_solver(self.A_momentum, vopts, M=M_mom)
+            helm = {VEL_NAMES[c]: FastDiagHelmholtz(
+                helmholtz_lines(mesh, self.bc, c), self.dt, cnu,
+                dtype=self.dtype,
+                precision=fdm_cfg.get("precision", "highest"))
+                for c in range(mesh.dim)}
+
+            class _HelmDict:
+                @staticmethod
+                def solve(r):
+                    return {k: helm[k].solve(v) for k, v in r.items()}
+
+            self.v_solver = make_fdm_solver(_HelmDict, self.A_momentum,
+                                            vopts)
+        else:
+            M_mom = None
+            if vopts.get("pc") != "none":
+                diag_mom = extract_diagonal(self.A_momentum,
+                                            tmap(jnp.zeros_like, q),
+                                            radius=1)
+
+                def M_mom(r):
+                    return tmap(lambda a, b: a / b, r, diag_mom)
+
+            self.v_solver = make_solver(self.A_momentum, vopts, M=M_mom)
         # warm starts reuse the previous step's solution/correction as the
         # Krylov initial guess — converged states are identical to the
         # reference's zero-guess KSP within the same tolerances, with far
