@@ -274,9 +274,19 @@ def make_fdm_solver(fdm, A, opts: dict):
     tmap = jax.tree_util.tree_map
 
     def solve(b, x0):
-        del x0
-        x = fdm.solve(b)
-        r = tmap(lambda bi, ax: bi - ax, b, A(x))
+        # Warm start + RECURRENCE residual updates — both matter in f32:
+        # (1) refining from x0 keeps the transform rounding at the scale
+        # of ||b - A x0|| (small in developed flow), not ||b||
+        # (~||u||/dt ~ 1e5 on the momentum system at atol 1e-6);
+        # (2) a freshly evaluated b - A x carries eps*||b|| noise (~1e-2
+        # there), so convergence is judged on r_{k+1} = r_k - A dx_k,
+        # whose arithmetic stays at the correction scale — exactly the
+        # residual semantics of the reference's KSP recurrences
+        # (linsolverksp.cpp / KSPSolve default norm).
+        r = tmap(lambda bi, ax: bi - ax, b, A(x0))
+        dx = fdm.solve(r)
+        x = tmap(lambda xi, di: xi + di, x0, dx)
+        r = tmap(lambda ri, adi: ri - adi, r, A(dx))
         tol = jnp.maximum(atol, rtol * _norm(b))
         rnorm = _norm(r)
 
@@ -286,8 +296,9 @@ def make_fdm_solver(fdm, A, opts: dict):
 
         def body(state):
             x, r, rn, _, it = state
-            x = tmap(lambda xi, di: xi + di, x, fdm.solve(r))
-            r = tmap(lambda bi, ax: bi - ax, b, A(x))
+            dx = fdm.solve(r)
+            x = tmap(lambda xi, di: xi + di, x, dx)
+            r = tmap(lambda ri, adi: ri - adi, r, A(dx))
             return x, r, _norm(r), rn, it + 1
 
         big = jnp.asarray(np.inf, rnorm.dtype)
