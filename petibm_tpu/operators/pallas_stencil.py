@@ -9,8 +9,9 @@ read-phi + write-out: coefficients are 1D/broadcast factors.
 One kernel is carried — the one that wins:
 
 - ``poisson_apply_separable``: whole-array 5/7-point apply with broadcast
-  factor operands, everything resident in VMEM.  Measured 1.47x XLA at
-  64^3, par at 450^2 (scripts/bench_spmv.py).
+  factor operands, everything resident in VMEM.  Measured 0.85-1.5x XLA
+  across sessions (par within relay noise; these small applies are
+  dispatch-bound — scripts/bench_spmv.py).
 
 ``make_pallas_poisson`` returns it for a PoissonMG hierarchy's finest
 level when it fits the measured ~24 MB live-set cap, else None — XLA's
