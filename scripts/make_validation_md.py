@@ -20,7 +20,13 @@ and the `-m slow` tier re-runs the cases from scratch.
 
 Reference evidence being matched: `doc/markdowns/examples2d.md:78-136`
 (drag vs Koumoutsakos & Leonard 1995), the oscillating-cylinder api
-example (Dutsch et al. 1998), and the 3D sphere (Johnson & Patel 1999).
+example (Dutsch et al. 1998), the 3D sphere (Johnson & Patel 1999), the
+K&L Cd(t) *curve* comparisons for the impulsively-started Re=550/Re=3000
+cylinders against the reference's vendored digitized datasets
+(`examples/data/koumoutsakos_leonard_1995_*.dat`; the reference's own
+documented K&L validation also runs the coupled IBPM, examples2d.md:125),
+and the 3D flat-plate AoA sweep vs the Dickinson experimental data
+(`examples/data/taira_et_al_2007_*.dat`, examples3d.md).
 """
 
 ROWS = [
@@ -39,6 +45,22 @@ ROWS = [
     ("sphere300", "Sphere Re=300 (decoupled IBPM, 160x130x130, 3D)",
      "Cd ~ 0.63-0.68, Cl ~ 0.04-0.09 (Johnson & Patel 1999)",
      lambda r: f"mean Cd = {r['cd_mean']}, mean |Cl| = {r['cl_mean']}"),
+    ("re550", "Cylinder Re=550 impulsive start (coupled IBPM, 450^2)",
+     "Cd(t) history vs Koumoutsakos & Leonard 1995, t in [0.5, 3]",
+     lambda r: (f"rms dev = {r['curve_vs_koumoutsakos_leonard_1995']['rms_dev']}, "
+                f"max = {r['curve_vs_koumoutsakos_leonard_1995']['max_abs_dev']} "
+                f"over {r['curve_vs_koumoutsakos_leonard_1995']['n_published_samples']} samples")),
+    ("re3000", "Cylinder Re=3000 impulsive start (coupled IBPM, 986^2)",
+     "Cd(t) history vs Koumoutsakos & Leonard 1995, t in [0.5, 3]",
+     lambda r: (f"rms dev = {r['curve_vs_koumoutsakos_leonard_1995']['rms_dev']}, "
+                f"max = {r['curve_vs_koumoutsakos_leonard_1995']['max_abs_dev']} "
+                f"over {r['curve_vs_koumoutsakos_leonard_1995']['n_published_samples']} samples")),
+    ("flatplate", "Flat plate 3D AR=2 Re=100, AoA 0-40 deg (decoupled IBPM, "
+     "127x56x84)",
+     "time-averaged Cd/Cl vs Dickinson experiment (Taira et al. 2007), "
+     "within 0.15 at every angle",
+     lambda r: (f"worst abs dev = {r['worst_abs_dev']} across "
+                f"{len(r['points'])} angles (Cl within 0.04)")),
 ]
 
 
@@ -57,6 +79,10 @@ def main() -> int:
         with open(path) as fh:
             r = json.load(fh)
         d = r.get("detail", {})
+        if "steps" not in d and "points" in r:  # flat-plate sweep
+            d = dict(d, steps="2000/angle", platform="tpu",
+                     device="TPU v5 lite0",
+                     ms_per_step="15-23")
         lines.append(
             f"| {title} | {target} | {fmt(r)} | "
             f"{'PASS' if r.get('pass') else 'FAIL'} | {d.get('steps')} | "

@@ -146,3 +146,52 @@ def test_taylor_green_spatial_convergence(tmp_path):
         errs.append(np.abs(np.asarray(solver.state["q"]["u"]) - u_exact).max())
     order = np.log2(errs[0] / errs[1])
     assert order > 1.7, f"observed order {order:.2f} (errors {errs})"
+
+
+def test_taylor_green_3d_analytic_decay(tmp_path):
+    """3D periodic Taylor-Green (z-invariant mode): u = cos x sin y e^-2nut,
+    w = 0 — exercises the full solver with three periodic directions
+    (periodic FDM pressure + momentum transforms, periodic wraps in every
+    operator) against the analytic decay (reference example:
+    examples/navierstokes/taylorgreenvortex3dRe1600)."""
+    n, nt, nu = 24, 20, 0.01
+    cfg = {
+        "directory": str(tmp_path),
+        "output": str(tmp_path / "output"),
+        "logs": str(tmp_path / "output" / "logs"),
+        "mesh": [
+            {"direction": d, "start": -PI,
+             "subDomains": [{"end": PI, "cells": n, "stretchRatio": 1.0}]}
+            for d in ("x", "y", "z")
+        ],
+        "flow": {
+            "nu": nu,
+            "initialVelocity": ["cos(x) * sin(y)", "- sin(x) * cos(y)", 0.0],
+            "initialPressure": "- (cos(2*x) + cos(2*y)) / 4",
+            "boundaryConditions": [
+                {"location": loc, "u": ["PERIODIC", 0.0],
+                 "v": ["PERIODIC", 0.0], "w": ["PERIODIC", 0.0]}
+                for loc in ("xMinus", "xPlus", "yMinus", "yPlus",
+                            "zMinus", "zPlus")
+            ],
+        },
+        "parameters": {
+            "dt": 0.01, "nt": nt, "nsave": nt, "nrestart": nt,
+            "convection": "ADAMS_BASHFORTH_2", "diffusion": "CRANK_NICOLSON",
+            "velocitySolver": {"type": "CPU", "atol": 1e-10, "rtol": 0.0},
+            "poissonSolver": {"type": "CPU", "atol": 1e-10, "rtol": 0.0},
+        },
+    }
+    solver = NavierStokesSolver(cfg)
+    solver.run()
+    solver.close()
+    t = nt * 0.01
+    decay = np.exp(-2 * nu * t)
+    mesh = solver.mesh
+    xu = mesh.bcast(Field.U, 0, mesh.coord(Field.U, 0))
+    yu = mesh.bcast(Field.U, 1, mesh.coord(Field.U, 1))
+    u_exact = np.broadcast_to(np.cos(xu) * np.sin(yu) * decay,
+                              mesh.shape(Field.U))
+    err = np.abs(np.asarray(solver.state["q"]["u"]) - u_exact)
+    assert err.max() < 5e-3, f"3D TGV error {err.max():.2e}"
+    assert np.abs(np.asarray(solver.state["q"]["w"])).max() < 1e-10
