@@ -6,10 +6,10 @@ closest published number — 2D IBPM cylinder Re=550, 450x450 stretched,
 1200 steps in < 5 min on 2 MPI ranks + 1 NVIDIA K40
 (doc/markdowns/examples2d.md:133) — i.e. 250 ms per time step.
 
-The full step (momentum CG — the Helmholtz operator is SPD, so CG replaces
-the reference's BiCGStab+Jacobi — dense EBNH force solve, fast-
-diagonalization-preconditioned CG Poisson at the reference's atol 1e-6,
-projection) runs jitted on one TPU chip, 1000 steps per dispatch
+The full step (direct fast-diagonalization momentum and pressure solves
+with warm-started recurrence-residual refinement at the reference's
+atol 1e-6, setup-time-inverted dense EBNH force solve, projection) runs
+jitted on one TPU chip, 1000 steps per dispatch
 (parameters.stepsPerDispatch — lax.scan inside one XLA program; per-step
 solver stats still ride along, so per-step logging is preserved).  The
 ~28 ms tunnel round trip per sync would otherwise dominate a ~0.45 ms
@@ -126,11 +126,10 @@ def main() -> int:
     t_apply = bench_apply(solver._negA_p, phi)
     ncells = int(phi.size)
     nnz = 5 * ncells  # 5-point pressure Poisson rows
-    # mandatory traffic follows the kernel actually dispatched: the
-    # separable Pallas / fused-XLA formulations stream phi + out only
-    # (coefficients are 1D factors, linalg/mg.py); the legacy DIA
-    # fallbacks stream pts+2 dense arrays and tag themselves with
-    # .traffic_arrays (operators/pallas_stencil.py)
+    # mandatory traffic: phi + out only — both the separable Pallas
+    # kernel and the fused-XLA stencil stream exactly these two arrays
+    # (coefficients are fused 1D factors, linalg/mg.py); kernels tag
+    # .traffic_arrays should a different-traffic formulation ever return
     n_arrays = int(getattr(solver._negA_p, "traffic_arrays", 2))
     mand_bytes = n_arrays * ncells * 4
     sol_nnz_s = bw * nnz / mand_bytes

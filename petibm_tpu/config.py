@@ -121,6 +121,7 @@ def parse_solver_options(path: str | None, directory: str | None = None) -> dict
             elif key == "pc_type":
                 opts["pc"] = {"none": "none", "jacobi": "jacobi", "gamg": "mg",
                               "mg": "mg", "hypre": "mg"}.get(val, val)
+                opts["pc_explicit"] = True
     return opts
 
 
@@ -144,6 +145,10 @@ def solver_config(config: dict, name: str) -> dict:
                      ("max_it", "max_it"), ("pc", "pc"), ("dense", "dense")):
         if key in node:
             opts[opt] = node[key]
+            if opt == "pc":
+                opts["pc_explicit"] = True
     if opts.get("pc") is None:
+        # role default, NOT a user choice: pc_explicit stays False so the
+        # fast-diagonalization default can still claim the solve
         opts["pc"] = _DEFAULT_PC.get(name, "jacobi")
     return opts

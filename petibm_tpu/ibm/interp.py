@@ -224,8 +224,11 @@ class WindowedDeltaOp(DeltaOp):
             plane *= self.n[c][d]
         itemsize = jnp.dtype(self.dtype).itemsize
         b = self._chunk_budget // max(1, plane * itemsize)
-        b = max(256, min(8192, 1 << int(b).bit_length() >> 1))
-        return b
+        # round down to a power of two within [8, 8192]; the floor stays
+        # tiny so huge in-plane grids (plane ~ MBs) cannot overshoot the
+        # budget through the clamp
+        b = min(8192, 1 << int(b).bit_length() >> 1) if b >= 1 else 1
+        return max(8, b)
 
     def _expand(self, c, d, idx, wt):
         """(B, K) banded rows -> (B, n_d) dense factor rows (the one-hot
@@ -306,6 +309,24 @@ class WindowedDeltaOp(DeltaOp):
                 body, jnp.zeros(shape, self.dtype), (idx_s, wt_s, fc))
             out[VEL_NAMES[c]] = acc
         return out
+
+
+def dense_ebnh_blocks(win, dim: int, dt: float, dtype):
+    """Per-component dense (N, N) blocks of E B1 H = dt * E H for
+    factor-engine windows: prod over directions of (S_vol,d @ S_delta,d^T)
+    — symmetric (the volume weights attach to the contracted grid index).
+    Shared by the decoupled solver's direct force solve and the coupled
+    IBPM's force-block preconditioner (reference assembles the same
+    product sparsely via SpGEMM, decoupledibpm.cpp:171-216)."""
+    mats = []
+    for c in range(dim):
+        m = None
+        for d in range(dim):
+            a = jnp.einsum("pn,qn->pq", win[c]["sv"][d], win[c]["sd"][d],
+                           preferred_element_type=dtype)
+            m = a if m is None else m * a
+        mats.append(dt * m)
+    return mats
 
 
 #: factor-matrix engine up to this many Lagrangian points; windowed above

@@ -46,6 +46,29 @@ import numpy as np
 from .krylov import SolveResult, _norm
 
 
+def _apply_per_axis(mats: list, x, dim: int, precision):
+    """Apply mats[d] along direction d's array axis (one dense matmul per
+    axis — the shared transform of both fast-diagonalization solvers)."""
+    for d in range(dim):
+        axis = dim - 1 - d
+        x = jnp.moveaxis(
+            jnp.tensordot(mats[d], x, axes=((1,), (axis,)),
+                          precision=precision), 0, axis)
+    return x
+
+
+def fdm_config(params: dict) -> dict:
+    """Normalize ``parameters.fdm`` (bool shorthand or knob dict) into a
+    dict — shared by the pressure and velocity wiring so the two paths
+    cannot drift."""
+    cfg = params.get("fdm", {})
+    if cfg is False:
+        return {"enabled": False}
+    if not isinstance(cfg, dict):
+        return {}
+    return cfg
+
+
 def line_operator(widths: np.ndarray, periodic: bool, scale: float) -> np.ndarray:
     """Dense 1D FV operator T_d (float64): face coefficient scale/dist,
     zero-flux at non-periodic walls, wraparound where periodic — the same
@@ -120,13 +143,7 @@ class FastDiagPoisson:
         self._Qt = qts
 
     def _transform(self, mats: list, x):
-        """Apply mats[d] along direction d's axis (dense matmul per axis)."""
-        for d in range(self.dim):
-            axis = self.dim - 1 - d
-            x = jnp.moveaxis(
-                jnp.tensordot(mats[d], x, axes=((1,), (axis,)),
-                              precision=self.precision), 0, axis)
-        return x
+        return _apply_per_axis(mats, x, self.dim, self.precision)
 
     def solve(self, b):
         """x = A^+ b: the inconsistent (nonzero plain-sum) component of b
@@ -221,12 +238,7 @@ class FastDiagHelmholtz:
         self._Qinv = qinvs
 
     def _transform(self, mats: list, x):
-        for d in range(self.dim):
-            axis = self.dim - 1 - d
-            x = jnp.moveaxis(
-                jnp.tensordot(mats[d], x, axes=((1,), (axis,)),
-                              precision=self.precision), 0, axis)
-        return x
+        return _apply_per_axis(mats, x, self.dim, self.precision)
 
     def solve(self, b):
         bhat = self._transform(self._Qinv, b.astype(self.dtype))

@@ -83,23 +83,36 @@ class DecoupledIBPMSolver(ForcesLogMixin, NavierStokesSolver):
         dense = bool(fopts.get(
             "dense", self.bn_order == 1 and not self.delta.windowed))
         if dense and self.bn_order == 1 and not self.delta.windowed:
+            from ..ibm.interp import dense_ebnh_blocks
             from ..linalg.krylov import SolveResult
 
             dt, dim, dtype = self.dt, self.mesh.dim, self.dtype
+            atol = float(fopts.get("atol", 1e-6))
+            rtol = float(fopts.get("rtol", 0.0))
 
             def dense_blocks(win):
-                mats = []
-                for c in range(dim):
-                    m = None
-                    for d in range(dim):
-                        a = jnp.einsum("pn,qn->pq", win[c]["sv"][d],
-                                       win[c]["sd"][d],
-                                       preferred_element_type=dtype)
-                        m = a if m is None else m * a
-                    mats.append(dt * m)
-                return mats
+                return dense_ebnh_blocks(win, dim, dt, dtype)
 
             self._dense_ebnh_blocks = dense_blocks
+
+            def _result(df, rhsf, mats, win):
+                # report the full matrix-free residual as the diagnostic,
+                # but judge convergence on the DENSE-block residual (the
+                # small-matrix recurrence scale): the full grid-sweep
+                # residual carries eps*||grid fields|| evaluation noise
+                # (see linalg/fdm.py on f32 residual semantics), while a
+                # singular/NaN block (e.g. coincident body points) still
+                # fails the check and trips divergence: abort
+                r_full = rhsf - ebnh(df, win)
+                res = jnp.sqrt(jnp.sum(r_full * r_full))
+                r_small = jnp.stack(
+                    [rhsf[:, c] - mats[c] @ df[:, c] for c in range(dim)],
+                    axis=1)
+                rn = jnp.sqrt(jnp.sum(r_small * r_small))
+                tol = jnp.maximum(atol, rtol * jnp.sqrt(
+                    jnp.sum(rhsf * rhsf)))
+                return SolveResult(x=df, iters=jnp.asarray(0, jnp.int32),
+                                   residual=res, converged=rn <= tol)
 
             if not self._moving_bodies:
                 # stationary bodies: the blocks are constant, so invert
@@ -127,12 +140,7 @@ class DecoupledIBPMSolver(ForcesLogMixin, NavierStokesSolver):
                     df = df + jnp.stack(
                         [inv[c] @ (rhsf[:, c] - mats[c] @ df[:, c])
                          for c in range(dim)], axis=1)
-                    r = rhsf - ebnh(df, win)
-                    res = jnp.sqrt(jnp.sum(r * r))
-                    return SolveResult(x=df,
-                                       iters=jnp.asarray(0, jnp.int32),
-                                       residual=res,
-                                       converged=jnp.asarray(True))
+                    return _result(df, rhsf, mats, win)
 
                 self._solve_forces = solve_forces_static
                 return
@@ -142,11 +150,7 @@ class DecoupledIBPMSolver(ForcesLogMixin, NavierStokesSolver):
                 df = jnp.stack(
                     [jnp.linalg.solve(mats[c], rhsf[:, c])
                      for c in range(dim)], axis=1)
-                r = rhsf - ebnh(df, win)
-                res = jnp.sqrt(jnp.sum(r * r))
-                return SolveResult(x=df, iters=jnp.asarray(0, jnp.int32),
-                                   residual=res,
-                                   converged=jnp.asarray(True))
+                return _result(df, rhsf, mats, win)
 
             self._solve_forces = solve_forces
             return

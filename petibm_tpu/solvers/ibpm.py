@@ -95,8 +95,16 @@ class IBPMSolver(ForcesLogMixin, NavierStokesSolver):
                 # fast-diagonalization pseudo-inverse (linalg/fdm.py): the
                 # *exact* SPD inverse of the pressure block -D B1 G, a
                 # strictly stronger block preconditioner than a V-cycle
-                # (only the E/H force coupling remains for the outer CG)
-                p_pre = self.poisson_fdm.solve
+                # (only the E/H force coupling remains for the outer CG).
+                # Output plain-mean removal matches the base class's pcg
+                # wrapper: on stretched grids the FDM output is only
+                # W-orthogonal to the constant mode, and f32 CG recurrences
+                # otherwise accumulate nullspace drift
+                fdm_p = self.poisson_fdm
+
+                def p_pre(r, fdm_p=fdm_p):
+                    out = fdm_p.solve(r)
+                    return out - jnp.mean(out)
             # the coupled operator itself cannot use the fused -D B1 G
             # Pallas kernel (the force contribution -H f enters between G
             # and D), but the MG preconditioner's level-0 residual is the
@@ -128,15 +136,10 @@ class IBPMSolver(ForcesLogMixin, NavierStokesSolver):
         if dense_f:
             import numpy as np
 
-            mats = []
-            for c in range(self.mesh.dim):
-                w = win[c]
-                m = None
-                for d in range(self.mesh.dim):
-                    a = jnp.einsum("pn,qn->pq", w["sv"][d], w["sd"][d],
-                                   preferred_element_type=self.dtype)
-                    m = a if m is None else m * a
-                mats.append(self.dt * m)
+            from ..ibm.interp import dense_ebnh_blocks
+
+            mats = dense_ebnh_blocks(win, self.mesh.dim, self.dt,
+                                     self.dtype)
             inv_f = [jnp.asarray(
                 np.linalg.inv(np.asarray(m, np.float64)), self.dtype)
                 for m in mats]

@@ -259,17 +259,18 @@ class NavierStokesSolver:
         # linalg/fdm.py FastDiagHelmholtz) — the Krylov solve then takes
         # ~1 iteration.  Jacobi fallback for pc: jacobi, fully-explicit
         # diffusion (where A = I/dt is diagonal anyway), or fdm: false.
+        from ..linalg.fdm import fdm_config
+
         q = self.state["q"]
-        params2 = config.get("parameters", {})
-        fdm_cfg = params2.get("fdm", {})
-        if fdm_cfg is False:
-            fdm_cfg = {"enabled": False}
-        elif not isinstance(fdm_cfg, dict):
-            fdm_cfg = {}
+        fdm_cfg = fdm_config(config.get("parameters", {}))
         cnu = self.diff_ti.implicit_coeff * self.nu
+        # an EXPLICIT pc choice (options file / inline) wins over the FDM
+        # default; the role's implicit jacobi default does not
+        pc_user = (vopts.get("pc")
+                   if vopts.get("pc_explicit") else None)
         want_vfdm = (bool(fdm_cfg.get("enabled", True))
                      and bool(fdm_cfg.get("velocity", True))
-                     and cnu > 0.0 and vopts.get("pc") != "none")
+                     and cnu > 0.0 and pc_user is None)
         if want_vfdm:
             # direct solve + true-residual refinement: the Helmholtz
             # inverse is only W-symmetric, so it is NOT a valid plain-CG
@@ -398,11 +399,9 @@ class NavierStokesSolver:
             return None
         params = self.config.get("parameters", {})
         if pc in ("mg", "fdm"):
-            fdm_cfg = params.get("fdm", {})
-            if fdm_cfg is False:
-                fdm_cfg = {"enabled": False}
-            elif not isinstance(fdm_cfg, dict):
-                fdm_cfg = {}
+            from ..linalg.fdm import fdm_config
+
+            fdm_cfg = fdm_config(params)
             eligible = self.bn_order == 1 and not self.is_ref_p
             want = (bool(fdm_cfg.get("enabled", True))
                     if pc == "mg" else True)

@@ -96,9 +96,22 @@ def profile_stages(solver, steps: int = 10, warmup: int = 3,
 
     @jax.jit
     def null(state):
-        # the null baseline reduces the full input state too, so the
-        # anchor-reduction cost cancels out of phase 0's difference
-        return _anchor(state, 0.0)
+        # the null baseline runs the SAME repeat-amplified anchor scan as
+        # the prefixes (minus any phase work): med[0] = dispatch +
+        # repeat*anchor, so the anchor-reduction cost cancels out of
+        # phase 0's difference instead of inflating it by
+        # (repeat-1)/repeat of a whole-state reduction
+        import jax.numpy as jnp
+
+        def one(feed, _):
+            leaves, treedef = jax.tree_util.tree_flatten(state)
+            leaves = [l + (feed * 1e-35).astype(l.dtype) for l in leaves]
+            st = jax.tree_util.tree_unflatten(treedef, leaves)
+            return _anchor(st, 0.0), None
+
+        feed, _ = jax.lax.scan(one, jnp.asarray(0.0, jnp.float32),
+                               None, length=repeat)
+        return feed
 
     prefix = [make_prefix(i) for i in range(len(phases))]
 

@@ -79,10 +79,6 @@ def main() -> int:
         with open(path) as fh:
             r = json.load(fh)
         d = r.get("detail", {})
-        if "steps" not in d and "points" in r:  # flat-plate sweep
-            d = dict(d, steps="2000/angle", platform="tpu",
-                     device="TPU v5 lite0",
-                     ms_per_step="15-23")
         lines.append(
             f"| {title} | {target} | {fmt(r)} | "
             f"{'PASS' if r.get('pass') else 'FAIL'} | {d.get('steps')} | "

@@ -379,7 +379,15 @@ def case_flatplate(args) -> None:
         "target": "time-averaged Cd/Cl within 0.15 of the Dickinson "
                   "experimental curve (Taira et al. 2007) at every AoA",
         "pass": bool(worst <= 0.15),
-        "detail": {"angles": angles, "avg_window": "t in [15, 20]"},
+        "detail": dict(
+            {k: v for k, v in platform_detail(0.0, 0.0, 1).items()
+             if k in ("platform", "device")},
+            steps="2000/angle",
+            ms_per_step=(f"{min(p['ms_per_step'] for p in points):.0f}-"
+                         f"{max(p['ms_per_step'] for p in points):.0f}"),
+            angles=angles, avg_window="t in [15, 20]",
+            note="per-angle ms_per_step in points[] (first angle includes "
+                 "compile)"),
     }
     emit("flatplate", result)
 
