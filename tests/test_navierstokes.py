@@ -144,3 +144,29 @@ def test_solver_divergence_warn_policy(tmp_path, capsys):
     solver.run()  # must not raise
     solver.close()
     assert "diverged" in capsys.readouterr().err
+
+
+def test_explicit_pc_choice_wins_over_fdm_default(tmp_path):
+    """An EXPLICIT velocitySolver pc (inline or options file) disables the
+    FDM direct momentum solve; the role's implicit jacobi default does
+    not (config.solver_config pc_explicit semantics)."""
+    import os as _os
+
+    from petibm_tpu.linalg.fdm import make_fdm_solver  # noqa: F401
+
+    cfg_default = run_config(tmp_path / "a", nt=1)
+    _os.makedirs(tmp_path / "a", exist_ok=True)
+    sa = NavierStokesSolver(cfg_default)
+    # default (implicit jacobi role default): direct FDM momentum solver
+    assert getattr(sa.v_solver, "__qualname__",
+                   "").startswith("make_fdm_solver")
+    sa.close()
+
+    cfg_explicit = run_config(tmp_path / "b", nt=1)
+    _os.makedirs(tmp_path / "b", exist_ok=True)
+    cfg_explicit["parameters"]["velocitySolver"] = {"type": "CPU",
+                                                    "pc": "jacobi"}
+    sb = NavierStokesSolver(cfg_explicit)
+    assert not getattr(sb.v_solver, "__qualname__",
+                       "").startswith("make_fdm_solver")
+    sb.close()
