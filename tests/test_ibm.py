@@ -477,3 +477,49 @@ def test_windowed_delta_auto_threshold(tmp_path):
     big = make_delta_op(mesh, n_pts=WINDOWED_THRESHOLD + 1)
     assert not small.windowed
     assert isinstance(big, WindowedDeltaOp)
+
+
+def test_windowed_delta_matches_factor_engine_3d():
+    """3D layout equivalence of the two delta engines (the chunked
+    expansion's axis handling differs from 2D)."""
+    from petibm_tpu.ibm.interp import WindowedDeltaOp
+
+    cfg = {
+        "mesh": [
+            {"direction": "x", "start": -1.0,
+             "subDomains": [{"end": 1.0, "cells": 18, "stretchRatio": 1.03}]},
+            {"direction": "y", "start": -1.0,
+             "subDomains": [{"end": 1.0, "cells": 14, "stretchRatio": 1.0}]},
+            {"direction": "z", "start": -1.0,
+             "subDomains": [{"end": 1.0, "cells": 12, "stretchRatio": 1.0}]},
+        ],
+        "flow": {"nu": 0.01, "initialVelocity": [0, 0, 0],
+                 "boundaryConditions": [
+                     {"location": loc, "u": ["DIRICHLET", 0.0],
+                      "v": ["DIRICHLET", 0.0], "w": ["DIRICHLET", 0.0]}
+                     for loc in ("xMinus", "xPlus", "yMinus", "yPlus",
+                                 "zMinus", "zPlus")]},
+    }
+    mesh = StaggeredMesh(cfg)
+    rng = np.random.default_rng(6)
+    # sphere-ish point cloud inside the domain
+    npts = 40
+    th = rng.uniform(0, 2 * np.pi, npts)
+    ph = np.arccos(rng.uniform(-1, 1, npts))
+    X = jnp.asarray(0.4 * np.stack([np.cos(th) * np.sin(ph),
+                                    np.sin(th) * np.sin(ph),
+                                    np.cos(ph)], axis=1), F64)
+
+    a = DeltaOp(mesh, "ROMA_ET_AL_1999", F64)
+    b = WindowedDeltaOp(mesh, "ROMA_ET_AL_1999", F64)
+    wa, wb = a.windows(X), b.windows(X)
+    q = {k: jnp.asarray(rng.standard_normal(mesh.shape(Field(c))), F64)
+         for c, k in enumerate(("u", "v", "w"))}
+    np.testing.assert_allclose(np.asarray(a.interpolate(q, wa)),
+                               np.asarray(b.interpolate(q, wb)),
+                               rtol=0, atol=1e-12)
+    f = jnp.asarray(rng.standard_normal((npts, 3)), F64)
+    ha, hb = a.spread(f, wa), b.spread(f, wb)
+    for k in ("u", "v", "w"):
+        np.testing.assert_allclose(np.asarray(ha[k]), np.asarray(hb[k]),
+                                   rtol=0, atol=1e-12)
