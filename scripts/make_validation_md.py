@@ -55,6 +55,13 @@ ROWS = [
      lambda r: (f"rms dev = {r['curve_vs_koumoutsakos_leonard_1995']['rms_dev']}, "
                 f"max = {r['curve_vs_koumoutsakos_leonard_1995']['max_abs_dev']} "
                 f"over {r['curve_vs_koumoutsakos_leonard_1995']['n_published_samples']} samples")),
+    ("multicylinders", "Two-cylinder y-periodic array Re=100 "
+     "(decoupled IBPM, 511x500, 20% blockage)",
+     "per-body Cd ~ 1.6-1.9, St ~ 0.18-0.22 (Sahin & Owens 2004 confined "
+     "cylinder at beta=0.2); symmetric pair matches",
+     lambda r: (f"Cd = {r['bodies'][0]['cd_mean']}/{r['bodies'][1]['cd_mean']}"
+                f" (gap {r['cd_symmetry_gap']}), St = "
+                f"{r['bodies'][0]['strouhal']}")),
     ("flatplate", "Flat plate 3D AR=2 Re=100, AoA 0-40 deg (decoupled IBPM, "
      "127x56x84)",
      "time-averaged Cd/Cl vs Dickinson experiment (Taira et al. 2007), "

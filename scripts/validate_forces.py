@@ -392,10 +392,59 @@ def case_flatplate(args) -> None:
     emit("flatplate", result)
 
 
+def case_multicylinders(args) -> None:
+    """Two side-by-side cylinders (y = +-2.5D) in a y-periodic channel at
+    Re=100 (reference example: decoupledibpm/multicylinders2dRe100_GPU):
+    exercises multi-body force logging + periodic-direction solvers on
+    the TPU.  At 5D spacing each cylinder behaves near-isolated: mean Cd
+    ~ 1.25-1.55 with St ~ 0.15-0.18 (Williamson 1996 isolated-cylinder
+    values, mild blockage), and the symmetric positions must give
+    matching statistics."""
+    from petibm_tpu.solvers.decoupledibpm import DecoupledIBPMSolver
+
+    nt = args.nt or 20000  # dt 0.01 -> t = 200
+    cfg = load_case("multicylinders2dRe100", {
+        "nt": nt, "nsave": 1000000, "nrestart": 1000000,
+        "dtype": args.dtype, "stepsPerDispatch": args.chunk})
+    solver, setup_s, run_s = run(cfg, DecoupledIBPMSolver)
+    data = np.loadtxt(os.path.join(cfg["output"], "forces-0.txt"))
+    t = data[:, 0]
+    sel = t >= 0.6 * t[-1]
+    bodies = []
+    for b in range(2):
+        cd = 2 * data[:, 1 + 2 * b]
+        cl = 2 * data[:, 2 + 2 * b]
+        cls, ts = cl[sel], t[sel]
+        crossings = ts[1:][(cls[:-1] < 0) & (cls[1:] >= 0)]
+        st = (float(1.0 / np.mean(np.diff(crossings)))
+              if len(crossings) > 2 else None)
+        bodies.append({"cd_mean": round(float(np.mean(cd[sel])), 4),
+                       "cl_mean": round(float(np.mean(cl[sel])), 4),
+                       "strouhal": round(st, 4) if st else None})
+    dcd = abs(bodies[0]["cd_mean"] - bodies[1]["cd_mean"])
+    ok = all(1.6 <= b["cd_mean"] <= 1.9
+             and b["strouhal"] and 0.18 <= b["strouhal"] <= 0.22
+             for b in bodies) and dcd <= 0.02
+    result = {
+        "case": "multicylinders2dRe100_decoupledibpm",
+        "grid": "511x500, y-periodic channel, 2 bodies x 157 pts",
+        "bodies": bodies, "cd_symmetry_gap": round(dcd, 4),
+        "t_final": float(t[-1]),
+        "target": "each: Cd ~ 1.6-1.9, St ~ 0.18-0.22 (20% blockage; "
+                  "Sahin & Owens 2004 confined cylinder at beta=0.2 "
+                  "gives Cd 1.71-1.76, St 0.19-0.20); symmetric pair "
+                  "statistics match",
+        "pass": bool(ok),
+        "detail": platform_detail(setup_s, run_s, len(t)),
+    }
+    emit("multicylinders", result)
+
+
 CASES = {"re40": case_re40, "re200": case_re200,
          "oscillating": case_oscillating, "sphere300": case_sphere300,
          "re550": case_re550, "re3000": case_re3000,
-         "flatplate": case_flatplate}
+         "flatplate": case_flatplate,
+         "multicylinders": case_multicylinders}
 
 
 def main() -> int:

@@ -155,3 +155,14 @@ def test_recorded_flatplate_aoa_sweep():
     # lift must track closely in the attached/pre-stall range
     for p in r["points"]:
         assert abs(p["cl"] - p["cl_published"]) <= 0.06, p
+
+
+def test_recorded_multicylinders():
+    """Two-cylinder y-periodic array at Re=100 (20% blockage): per-body
+    Cd/St in the confined-cylinder band (Sahin & Owens 2004 at beta=0.2)
+    and symmetric-pair statistics matching."""
+    r = _recorded("multicylinders")
+    for b in r["bodies"]:
+        assert 1.6 <= b["cd_mean"] <= 1.9, b
+        assert 0.18 <= b["strouhal"] <= 0.22, b
+    assert r["cd_symmetry_gap"] <= 0.02, r
