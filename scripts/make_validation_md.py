@@ -55,6 +55,12 @@ ROWS = [
      lambda r: (f"rms dev = {r['curve_vs_koumoutsakos_leonard_1995']['rms_dev']}, "
                 f"max = {r['curve_vs_koumoutsakos_leonard_1995']['max_abs_dev']} "
                 f"over {r['curve_vs_koumoutsakos_leonard_1995']['n_published_samples']} samples")),
+    ("cavity_ghia", "Lid-driven cavity Re=100/1000/3200/5000 "
+     "(navierstokes, reference-identical grids)",
+     "centerline u/v RMS vs Ghia et al. (1982) <= 0.05",
+     lambda r: ", ".join(
+         f"{re}: {max(v['u_rms'], v['v_rms']):.3f}"
+         for re, v in r["results"].items())),
     ("multicylinders", "Two-cylinder y-periodic array Re=100 "
      "(decoupled IBPM, 511x500, 20% blockage)",
      "per-body Cd ~ 1.6-1.9, St ~ 0.18-0.22 (Sahin & Owens 2004 confined "

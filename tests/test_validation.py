@@ -166,3 +166,12 @@ def test_recorded_multicylinders():
         assert 1.6 <= b["cd_mean"] <= 1.9, b
         assert 0.18 <= b["strouhal"] <= 0.22, b
     assert r["cd_symmetry_gap"] <= 0.02, r
+
+
+def test_recorded_cavity_ghia_sweep():
+    """All four lid-driven-cavity example configs (Re=100/1000/3200/5000)
+    validated against the Ghia et al. (1982) centerline tables."""
+    r = _recorded("cavity_ghia")
+    assert len(r["results"]) >= 4
+    for re, v in r["results"].items():
+        assert v["u_rms"] <= 0.05 and v["v_rms"] <= 0.05, (re, v)
