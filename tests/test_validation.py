@@ -87,10 +87,12 @@ def test_recorded_re3000_kl_curve():
 
 
 @pytest.mark.slow
-def test_cylinder_re40_drag_full_run():
+def test_cylinder_re40_drag_full_run(tmp_path, monkeypatch):
     """Run the full 186^2 x 2000-step Re=40 case on this backend and assert
     the Koumoutsakos & Leonard drag coefficient directly."""
     import validate_forces as vf
+
+    monkeypatch.setenv("PETIBM_VALIDATION_DIR", str(tmp_path))
 
     class Args:
         nt = None
@@ -98,17 +100,19 @@ def test_cylinder_re40_drag_full_run():
         chunk = 50
 
     vf.case_re40(Args())
-    with open(os.path.join(REPO, "validation", "re40.json")) as fh:
+    with open(tmp_path / "re40.json") as fh:
         r = json.load(fh)
     assert r["t_final"] >= 19.99
     assert 1.45 <= r["cd_final"] <= 1.70, r
 
 
 @pytest.mark.slow
-def test_oscillating_cylinder_morison_full_run():
+def test_oscillating_cylinder_morison_full_run(tmp_path, monkeypatch):
     """Dutsch et al. 1998 in-line oscillating cylinder (Re=100, KC=5):
     Morison fit over the final period of a 2-period run."""
     import validate_forces as vf
+
+    monkeypatch.setenv("PETIBM_VALIDATION_DIR", str(tmp_path))
 
     class Args:
         nt = 10000
@@ -116,7 +120,7 @@ def test_oscillating_cylinder_morison_full_run():
         chunk = 50
 
     vf.case_oscillating(Args())
-    with open(os.path.join(REPO, "validation", "oscillating.json")) as fh:
+    with open(tmp_path / "oscillating.json") as fh:
         r = json.load(fh)
     assert 1.8 <= r["cd_morison"] <= 2.4, r
     assert 1.15 <= r["cm_morison"] <= 1.75, r
