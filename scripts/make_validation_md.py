@@ -55,6 +55,12 @@ ROWS = [
      lambda r: (f"rms dev = {r['curve_vs_koumoutsakos_leonard_1995']['rms_dev']}, "
                 f"max = {r['curve_vs_koumoutsakos_leonard_1995']['max_abs_dev']} "
                 f"over {r['curve_vs_koumoutsakos_leonard_1995']['n_published_samples']} samples")),
+    ("tgv3d", "Taylor-Green vortex 3D Re=1600 (navierstokes, 256^3 "
+     "periodic DNS)",
+     "peak dissipation -dE/dt ~ 0.0122 at t ~ 9.0 (van Rees et al. 2011 "
+     "spectral DNS; 2nd-order envelope [0.010, 0.0135] x [8, 10])",
+     lambda r: (f"peak eps = {r['peak_dissipation']} at "
+                f"t = {r['peak_time']}")),
     ("cavity_ghia", "Lid-driven cavity Re=100/1000/3200/5000 "
      "(navierstokes, reference-identical grids)",
      "centerline u/v RMS vs Ghia et al. (1982) <= 0.05",

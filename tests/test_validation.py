@@ -179,3 +179,13 @@ def test_recorded_cavity_ghia_sweep():
     assert len(r["results"]) >= 4
     for re, v in r["results"].items():
         assert v["u_rms"] <= 0.05 and v["v_rms"] <= 0.05, (re, v)
+
+
+def test_recorded_tgv3d_dissipation():
+    """256^3 Taylor-Green Re=1600: kinetic-energy dissipation peak on the
+    canonical DNS benchmark (van Rees et al. 2011: eps ~ 0.0122 at
+    t ~ 9.0)."""
+    r = _recorded("tgv3d")
+    assert 0.010 <= r["peak_dissipation"] <= 0.0135, r
+    assert 8.0 <= r["peak_time"] <= 10.0, r
+    assert r["t_final"] >= 19.99
