@@ -251,3 +251,23 @@ def test_velocity_fdm_preconditioner_iterations(tmp_path):
     np.testing.assert_allclose(np.asarray(sa.state["q"]["u"]),
                                np.asarray(sb.state["q"]["u"]), atol=1e-9)
     sa.close(), sb.close()
+
+
+def test_refinement_stagnation_reports_nonconvergence():
+    """A deliberately bad approximate inverse makes the refinement stall;
+    the solver must exit via the stagnation guard with converged=False
+    (feeding the divergence: abort policy) instead of looping to max_it."""
+    import jax.numpy as jnp
+
+    class BadM:
+        @staticmethod
+        def solve(r):
+            return 1e-3 * r  # hopeless "inverse": residual barely moves
+
+    A = lambda x: 2.0 * x  # trivial SPD operator
+    solve = make_fdm_solver(BadM, A, {"atol": 1e-12, "rtol": 0.0,
+                                      "max_it": 500})
+    b = jnp.ones((8, 8))
+    res = solve(b, jnp.zeros_like(b))
+    assert not bool(res.converged)
+    assert int(res.iters) < 500  # stagnation guard, not max_it grind
