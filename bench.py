@@ -12,7 +12,7 @@ atol 1e-6, setup-time-inverted dense EBNH force solve, projection) runs
 jitted on one TPU chip, 1000 steps per dispatch
 (parameters.stepsPerDispatch — lax.scan inside one XLA program; per-step
 solver stats still ride along, so per-step logging is preserved).  The
-~28 ms tunnel round trip per sync would otherwise dominate a ~0.45 ms
+~28 ms tunnel round trip per sync would otherwise dominate a ~0.15 ms
 step: at 50-step chunks the report overstates the step by ~0.56 ms
 (measured; validation/stages_450sq.txt has the per-phase device times).
 Measurement happens after a 1000-step spin-up so Krylov iteration counts
