@@ -170,3 +170,31 @@ def test_explicit_pc_choice_wins_over_fdm_default(tmp_path):
     assert not getattr(sb.v_solver, "__qualname__",
                        "").startswith("make_fdm_solver")
     sb.close()
+
+
+def test_bn_order2_end_to_end(tmp_path):
+    """BN: 2 exercises the non-separable pressure path (MG-preconditioned
+    CG — FDM is BN=1-only) end-to-end; the solution differs from BN=1
+    only by the higher-order splitting correction."""
+    import os as _os
+
+    _os.makedirs(tmp_path / "a", exist_ok=True)
+    _os.makedirs(tmp_path / "b", exist_ok=True)
+    cfg1 = run_config(tmp_path / "a", nt=5)
+    cfg2 = run_config(tmp_path / "b", nt=5)
+    cfg2["parameters"]["BN"] = 2
+    s1 = NavierStokesSolver(cfg1)
+    s2 = NavierStokesSolver(cfg2)
+    assert getattr(s1, "poisson_fdm", None) is not None
+    assert getattr(s2, "poisson_fdm", None) is None  # MG-CG path
+    import jax
+
+    for _ in range(5):
+        s1.state, st1 = s1._step_fn(s1.state)
+        s2.state, st2 = s2._step_fn(s2.state)
+    st2 = jax.device_get(st2)
+    assert bool(st2["p_ok"]) and bool(st2["v_ok"])
+    # O(dt^2) vs O(dt^3) splitting: fields agree to the splitting error
+    np.testing.assert_allclose(np.asarray(s2.state["q"]["u"]),
+                               np.asarray(s1.state["q"]["u"]), atol=5e-3)
+    s1.close(), s2.close()
