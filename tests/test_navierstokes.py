@@ -198,3 +198,36 @@ def test_bn_order2_end_to_end(tmp_path):
     np.testing.assert_allclose(np.asarray(s2.state["q"]["u"]),
                                np.asarray(s1.state["q"]["u"]), atol=5e-3)
     s1.close(), s2.close()
+
+
+def test_pinned_pressure_backend_matches_mean_projection(tmp_path):
+    """poissonSolver type: GPU selects the reference's AmgX-style pinned
+    pressure (MatZeroRowsColumns on row 0, navierstokes.cpp:414-420)
+    instead of the nullspace mean projection: velocities must agree and
+    pressures differ only by a constant."""
+    import os as _os
+
+    import jax
+
+    _os.makedirs(tmp_path / "a", exist_ok=True)
+    _os.makedirs(tmp_path / "b", exist_ok=True)
+    cfg1 = run_config(tmp_path / "a", nt=5)
+    cfg2 = run_config(tmp_path / "b", nt=5)
+    cfg2["parameters"]["poissonSolver"] = {"type": "GPU", "atol": 1e-11,
+                                           "rtol": 0.0}
+    cfg1["parameters"]["poissonSolver"] = {"type": "CPU", "atol": 1e-11,
+                                           "rtol": 0.0}
+    s1 = NavierStokesSolver(cfg1)
+    s2 = NavierStokesSolver(cfg2)
+    assert not s1.is_ref_p and s2.is_ref_p
+    assert getattr(s2, "poisson_fdm", None) is None  # pinned -> MG-CG
+    for _ in range(5):
+        s1.state, st1 = s1._step_fn(s1.state)
+        s2.state, st2 = s2._step_fn(s2.state)
+    st2 = jax.device_get(st2)
+    assert bool(st2["p_ok"]) and bool(st2["v_ok"])
+    np.testing.assert_allclose(np.asarray(s2.state["q"]["u"]),
+                               np.asarray(s1.state["q"]["u"]), atol=1e-7)
+    p1, p2 = np.asarray(s1.state["p"]), np.asarray(s2.state["p"])
+    np.testing.assert_allclose(p2 - p2.mean(), p1 - p1.mean(), atol=1e-7)
+    s1.close(), s2.close()
