@@ -274,8 +274,14 @@ class IBPMSolver(ForcesLogMixin, NavierStokesSolver):
 
     # ------------------------------------------------------------------
     def _restart_extra(self) -> dict:
-        return {"force": self.state["f"], "dP": self.state["dPhi"]["p"],
-                "dF": self.state["dPhi"]["f"]}
+        # the per-face BC ghost state must ride along too (the base class
+        # saves it; overriding wholesale silently dropped it and made
+        # convective-BC restarts inexact — caught by
+        # tests/test_ibm.py::test_ibpm_coupled_restart_exact)
+        return dict({"force": self.state["f"],
+                     "dP": self.state["dPhi"]["p"],
+                     "dF": self.state["dPhi"]["f"]},
+                    **self._bc_restart_extra())
 
     def _read_restart_extra(self, extra: dict) -> None:
         if "force" in extra:
@@ -291,4 +297,5 @@ class IBPMSolver(ForcesLogMixin, NavierStokesSolver):
                 "f": jnp.asarray(
                     extra["dF"].reshape(self.bodies.n_pts, self.mesh.dim),
                     self.dtype)}
+        self._restore_bc_extra(extra)
 

@@ -706,7 +706,12 @@ class NavierStokesSolver:
         # the per-face BC ghost state (a1/value) makes restarts exact even
         # with convective BCs — the reference only re-initializes those and
         # carries a TODO about it (navierstokes.cpp:742)
-        extra = {"dP": self.state["dP"]}
+        return dict({"dP": self.state["dP"]}, **self._bc_restart_extra())
+
+    def _bc_restart_extra(self) -> dict:
+        """Per-face BC ghost state (a1/value) for exact restarts —
+        shared with subclasses that replace the rest of the extras."""
+        extra = {}
         for key, st in self.state["bc"].items():
             extra[f"bc_{key}_a1"] = st["a1"]
             extra[f"bc_{key}_value"] = st["value"]
@@ -738,6 +743,9 @@ class NavierStokesSolver:
         if "dP" in extra:
             self.state["dP"] = jnp.asarray(
                 extra["dP"].reshape(self.mesh.shape(Field.P)), self.dtype)
+        self._restore_bc_extra(extra)
+
+    def _restore_bc_extra(self, extra: dict) -> None:
         bcstate = dict(self.state["bc"])
         for key, st in bcstate.items():
             a1 = extra.get(f"bc_{key}_a1")

@@ -523,3 +523,35 @@ def test_windowed_delta_matches_factor_engine_3d():
     for k in ("u", "v", "w"):
         np.testing.assert_allclose(np.asarray(ha[k]), np.asarray(hb[k]),
                                    rtol=0, atol=1e-12)
+
+
+def test_ibpm_coupled_restart_exact(tmp_path):
+    """Coupled-IBPM restart (force + dPhi extras, ibpm.cpp:338-384) must
+    reproduce the continuous run bit-exactly."""
+    cfg = ib_config(tmp_path, nt=6)
+    cfg["parameters"]["nsave"] = 3
+    cfg["parameters"]["nrestart"] = 3
+    solver = IBPMSolver(cfg)
+    solver.run()
+    cont = jax.device_get(solver.state)
+    solver.close()
+
+    cfg2 = ib_config(tmp_path, nt=3)
+    cfg2["parameters"]["nsave"] = 3
+    cfg2["parameters"]["nrestart"] = 3
+    cfg2["parameters"]["startStep"] = 3
+    restarted = IBPMSolver(cfg2)
+    restarted.run()
+    rest = jax.device_get(restarted.state)
+    restarted.close()
+
+    for name in ("u", "v"):
+        np.testing.assert_array_equal(np.asarray(rest["q"][name]),
+                                      np.asarray(cont["q"][name]))
+    np.testing.assert_array_equal(np.asarray(rest["p"]),
+                                  np.asarray(cont["p"]))
+    np.testing.assert_array_equal(np.asarray(rest["f"]),
+                                  np.asarray(cont["f"]))
+    for part in ("p", "f"):
+        np.testing.assert_array_equal(np.asarray(rest["dPhi"][part]),
+                                      np.asarray(cont["dPhi"][part]))
