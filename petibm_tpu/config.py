@@ -81,6 +81,64 @@ _KSP_DEFAULTS = {
 _DEFAULT_PC = {"poisson": "mg", "velocity": "jacobi", "forces": "jacobi"}
 
 
+def _parse_amgx_options(lines: list[str]) -> dict | None:
+    """Parse an AmgX key=value config (the reference's GPU solver files,
+    e.g. examples/ibpm/cylinder2dRe550_GPU/config/poisson_solver.info;
+    consumed by linsolveramgx.cpp:54-126) into native solver settings.
+
+    Only the *outer* solver scope is honored (``solver(solv)=PCG`` then
+    ``solv:tolerance`` / ``solv:max_iters`` / ``solv:convergence`` /
+    ``solv:preconditioner``); nested scopes such as the AMG
+    preconditioner's own ``prec:max_iters=1`` are correctly ignored.
+    Returns None when the text is not AmgX-shaped."""
+    pairs: dict[str, str] = {}
+    for line in lines:
+        if "=" not in line:
+            continue
+        key, val = line.split("=", 1)
+        key = key.strip()
+        # scope declarations carry the child handle: "solv:preconditioner(
+        # prec)=AMG" -> normalized key "solv:preconditioner"
+        if key.endswith(")") and "(" in key:
+            base, handle = key[:-1].rsplit("(", 1)
+            pairs[base.strip()] = val.strip()
+            pairs[base.strip() + "()"] = handle.strip()
+        else:
+            pairs[key] = val.strip()
+    outer, alg = None, None
+    if "solver" in pairs:
+        alg = pairs["solver"]
+        outer = pairs.get("solver()")
+    if alg is None:
+        return None
+
+    def get(name: str) -> str | None:
+        if outer is not None and f"{outer}:{name}" in pairs:
+            return pairs[f"{outer}:{name}"]
+        return pairs.get(name)
+
+    opts = dict(_KSP_DEFAULTS)
+    opts["type"] = {"PCG": "cg", "CG": "cg", "PBICGSTAB": "bicgstab",
+                    "BICGSTAB": "bicgstab"}.get(alg.upper(), "cg")
+    tol = get("tolerance")
+    if tol is not None:
+        conv = (get("convergence") or "ABSOLUTE").upper()
+        if conv.startswith("ABSOLUTE"):
+            opts["atol"], opts["rtol"] = float(tol), 0.0
+        else:  # RELATIVE_INI_CORE etc.
+            opts["rtol"], opts["atol"] = float(tol), 0.0
+    max_iters = get("max_iters")
+    if max_iters is not None:
+        opts["max_it"] = int(max_iters)
+    pre = get("preconditioner")
+    if pre is not None:
+        opts["pc"] = {"AMG": "mg", "NOSOLVER": "none",
+                      "BLOCK_JACOBI": "jacobi", "JACOBI_L1": "jacobi",
+                      "MULTICOLOR_DILU": "jacobi"}.get(pre.upper(), "mg")
+        opts["pc_explicit"] = True
+    return opts
+
+
 def parse_solver_options(path: str | None, directory: str | None = None) -> dict:
     """Parse a PETSc-style options file into native solver settings.
 
@@ -88,7 +146,9 @@ def parse_solver_options(path: str | None, directory: str | None = None) -> dict
     ``-velocity_``): ``ksp_type`` (cg | bcgs -> bicgstab), ``ksp_atol``,
     ``ksp_rtol``, ``ksp_max_it``, ``pc_type`` (none | jacobi | gamg/mg -> mg).
     Unknown options are ignored, matching the spirit of PETSc's permissive
-    option handling.
+    option handling.  AmgX ``key=value`` files (the reference's GPU cases)
+    are detected and routed to ``_parse_amgx_options`` so a reference GPU
+    case directory carries over with its tolerances honored.
     """
     opts = dict(_KSP_DEFAULTS)
     if not path:
@@ -97,6 +157,14 @@ def parse_solver_options(path: str | None, directory: str | None = None) -> dict
         path = os.path.join(directory, path)
     if not os.path.isfile(path):
         return opts
+    with open(path) as fh:
+        raw_lines = [ln.split("#")[0].split("//")[0].strip()
+                     for ln in fh]
+    lines = [ln for ln in raw_lines if ln]
+    if lines and not any(ln.startswith("-") for ln in lines):
+        amgx = _parse_amgx_options(lines)
+        if amgx is not None:
+            return amgx
     with open(path) as fh:
         for raw in fh:
             line = raw.split("#")[0].split("//")[0].strip()

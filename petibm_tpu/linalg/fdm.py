@@ -48,13 +48,32 @@ from .krylov import SolveResult, _norm
 
 def _apply_per_axis(mats: list, x, dim: int, precision):
     """Apply mats[d] along direction d's array axis (one dense matmul per
-    axis — the shared transform of both fast-diagonalization solvers)."""
+    axis — the shared transform of both fast-diagonalization solvers).
+    ``mats[d] is None`` skips direction d (its transform is an FFT handled
+    separately by the caller)."""
     for d in range(dim):
+        if mats[d] is None:
+            continue
         axis = dim - 1 - d
         x = jnp.moveaxis(
             jnp.tensordot(mats[d], x, axes=((1,), (axis,)),
                           precision=precision), 0, axis)
     return x
+
+
+def _uniform_width(widths: np.ndarray, rtol: float = 1e-9) -> float | None:
+    """The common cell width when the axis is uniformly spaced, else None."""
+    w = np.asarray(widths, np.float64)
+    h = float(w.mean())
+    return h if np.allclose(w, h, rtol=rtol, atol=0.0) else None
+
+
+def _fft_symbol(n: int, h: float, scale: float) -> np.ndarray:
+    """Generalized eigenvalues of the periodic uniform 1D FV Poisson factor
+    (circulant T with faces scale/h, weight W = h I) in DFT-frequency
+    order: lambda_k = 2*scale*(1 - cos(2 pi k / n)) / h^2."""
+    k = np.arange(n)
+    return 2.0 * scale * (1.0 - np.cos(2.0 * np.pi * k / n)) / (h * h)
 
 
 def fdm_config(params: dict) -> dict:
@@ -100,12 +119,20 @@ class FastDiagPoisson:
 
     def __init__(self, dxp: list[np.ndarray], periodic: list[bool],
                  dtype=jnp.float32, scale: float = 1.0,
-                 precision: str = "highest", null_rtol: float = 1e-12):
+                 precision: str = "highest", null_rtol: float = 1e-12,
+                 use_fft: bool = True):
         """``dxp``: pressure cell widths per direction (x, y[, z]);
         ``scale``: the dt factor of B1; ``precision``: matmul precision for
         the eigenvector transforms ('highest' = full f32 accumulation on
         TPU; 'default' trades ~1e-3 transform accuracy for 6x fewer MXU
-        passes — the refinement loop absorbs the difference)."""
+        passes — the refinement loop absorbs the difference).
+
+        ``use_fft``: periodic *uniformly spaced* directions are circulant,
+        so their eigenbasis is the Fourier basis — the dense (n, n)
+        eigenvector matmuls become rfft/irfft with the analytic symbol
+        2*scale*(1-cos(2 pi k/n))/h^2, O(n log n) instead of O(n^2) per
+        line (the DNS-scale path: 256^3 TGV).  Periodic stretched and all
+        non-periodic directions keep the dense eigh transforms."""
         self.dim = len(dxp)
         self.dtype = dtype
         self.precision = jax.lax.Precision(
@@ -113,8 +140,19 @@ class FastDiagPoisson:
              "high": "high"}[str(precision).lower()])
 
         qs, qts, lams = [], [], []
+        fft_axes, fft_scale = [], 1.0
         for d in range(self.dim):
             w = np.asarray(dxp[d], np.float64)
+            h = _uniform_width(w) if (use_fft and periodic[d]) else None
+            if h is not None:
+                qs.append(None)
+                qts.append(None)
+                lams.append(_fft_symbol(len(w), h, scale))
+                fft_axes.append(self.dim - 1 - d)
+                # Q_d = F/sqrt(h): the unnormalized fft/ifft pair absorbs
+                # F F^H = I but not the two 1/sqrt(h) weights
+                fft_scale /= h
+                continue
             T = line_operator(w, periodic[d], scale)
             # generalized symmetric eigenproblem T q = lam W q via the
             # W^{-1/2} similarity: S = W^-1/2 T W^-1/2, Q = W^-1/2 V
@@ -125,19 +163,31 @@ class FastDiagPoisson:
             qs.append(jnp.asarray(Q, dtype))
             qts.append(jnp.asarray(Q.T.copy(), dtype))
             lams.append(np.maximum(lam, 0.0))
+        self._fft_axes = tuple(sorted(fft_axes))
+        self._fft_sizes = tuple(len(np.asarray(dxp[self.dim - 1 - ax]))
+                                for ax in self._fft_axes)
 
         # eigenvalue Kronecker sum over the (z, y[, x]) grid, inverted in
         # f64 with the nullspace mode(s) zeroed: lam_sum ~ 0 only at the
-        # product of each direction's constant mode (all-Neumann/periodic)
-        shape = tuple(reversed([len(np.asarray(d)) for d in dxp]))
-        lam_sum = np.zeros(shape)
+        # product of each direction's constant mode (all-Neumann/periodic).
+        # The real-to-complex rfft halves the LAST fft axis to n//2+1.
+        shape = list(reversed([len(np.asarray(d)) for d in dxp]))
+        lams_ax = [None] * self.dim
         for d, lam in enumerate(lams):
+            lams_ax[self.dim - 1 - d] = lam
+        if self._fft_axes:
+            rax = self._fft_axes[-1]
+            lams_ax[rax] = lams_ax[rax][:shape[rax] // 2 + 1]
+            shape[rax] = shape[rax] // 2 + 1
+        lam_sum = np.zeros(tuple(shape))
+        for ax, lam in enumerate(lams_ax):
             bshape = [1] * self.dim
-            bshape[self.dim - 1 - d] = len(lam)
+            bshape[ax] = len(lam)
             lam_sum = lam_sum + lam.reshape(bshape)
         cutoff = null_rtol * lam_sum.max()
         self.inv_lam = jnp.asarray(
-            np.where(lam_sum > cutoff, 1.0 / np.where(lam_sum > 0, lam_sum, 1.0),
+            np.where(lam_sum > cutoff,
+                     fft_scale / np.where(lam_sum > 0, lam_sum, 1.0),
                      0.0), dtype)
         self._Q = qs
         self._Qt = qts
@@ -155,8 +205,16 @@ class FastDiagPoisson:
         inner product."""
         b = b.astype(self.dtype)
         b = b - jnp.mean(b)  # range(A) = plain-sum-zero vectors
+        # dense transforms first (real matmuls), FFTs innermost — the
+        # reverse order on the way back keeps the dense matmuls real
         bhat = self._transform(self._Qt, b)
-        return self._transform(self._Q, bhat * self.inv_lam)
+        if self._fft_axes:
+            bhat = jnp.fft.rfftn(bhat, axes=self._fft_axes)
+        xhat = bhat * self.inv_lam
+        if self._fft_axes:
+            xhat = jnp.fft.irfftn(xhat, s=self._fft_sizes,
+                                  axes=self._fft_axes).astype(self.dtype)
+        return self._transform(self._Q, xhat)
 
 
 class FastDiagHelmholtz:
@@ -182,10 +240,17 @@ class FastDiagHelmholtz:
     """
 
     def __init__(self, lines1d: list[dict], dt: float, cnu: float,
-                 dtype=jnp.float32, precision: str = "highest"):
+                 dtype=jnp.float32, precision: str = "highest",
+                 use_fft: bool = True):
         """``lines1d``: per direction d a dict with keys ``dl`` (n,),
         ``dneg`` (n,), ``dpos`` (n,), ``a0`` ((lo, hi) or None when
-        periodic), ``periodic`` (bool); ``cnu`` = c_implicit * nu."""
+        periodic), ``periodic`` (bool); ``cnu`` = c_implicit * nu.
+
+        ``use_fft``: periodic uniform directions (dl = dneg = dpos = h)
+        have circulant T_d = (1/h^2) circ(-2, 1, ..., 1), so Q = F and
+        Q^-1 = F^H exactly — rfft/irfft with the analytic symbol
+        -(2 - 2 cos(2 pi k / n))/h^2 replace the dense transforms (and
+        need no width factor, unlike the conservative Poisson form)."""
         self.dim = len(lines1d)
         self.dtype = dtype
         self.precision = jax.lax.Precision(
@@ -193,11 +258,22 @@ class FastDiagHelmholtz:
              "high": "high"}[str(precision).lower()])
 
         qs, qinvs, lams = [], [], []
-        for ln in lines1d:
+        fft_axes = []
+        for d, ln in enumerate(lines1d):
             dl = np.asarray(ln["dl"], np.float64)
             dneg = np.asarray(ln["dneg"], np.float64)
             dpos = np.asarray(ln["dpos"], np.float64)
             n = len(dl)
+            if use_fft and ln["periodic"]:
+                h = _uniform_width(dl)
+                if (h is not None
+                        and np.allclose(dneg, h, rtol=1e-9, atol=0.0)
+                        and np.allclose(dpos, h, rtol=1e-9, atol=0.0)):
+                    qs.append(None)
+                    qinvs.append(None)
+                    lams.append(-_fft_symbol(n, h, 1.0))  # -(2-2cos)/h^2
+                    fft_axes.append(self.dim - 1 - d)
+                    continue
             cn = 1.0 / (dneg * dl)
             cp = 1.0 / (dpos * dl)
             T = np.zeros((n, n))
@@ -224,13 +300,24 @@ class FastDiagHelmholtz:
             qs.append(jnp.asarray(V / s[:, None], dtype))       # W^-1/2 V
             qinvs.append(jnp.asarray((V * s[:, None]).T, dtype))  # V^T W^1/2
             lams.append(lam)
+        self._fft_axes = tuple(sorted(fft_axes))
+        self._fft_sizes = tuple(len(np.asarray(lines1d[self.dim - 1 - ax]
+                                               ["dl"]))
+                                for ax in self._fft_axes)
 
-        shape = tuple(reversed([len(np.asarray(ln["dl"]))
-                                for ln in lines1d]))
-        lam_sum = np.zeros(shape)
+        shape = list(reversed([len(np.asarray(ln["dl"]))
+                               for ln in lines1d]))
+        lams_ax = [None] * self.dim
         for d, lam in enumerate(lams):
+            lams_ax[self.dim - 1 - d] = lam
+        if self._fft_axes:
+            rax = self._fft_axes[-1]
+            lams_ax[rax] = lams_ax[rax][:shape[rax] // 2 + 1]
+            shape[rax] = shape[rax] // 2 + 1
+        lam_sum = np.zeros(tuple(shape))
+        for ax, lam in enumerate(lams_ax):
             bshape = [1] * self.dim
-            bshape[self.dim - 1 - d] = len(lam)
+            bshape[ax] = len(lam)
             lam_sum = lam_sum + lam.reshape(bshape)
         denom = 1.0 / dt - cnu * lam_sum  # lam <= 0 -> denom >= 1/dt > 0
         self.inv_lam = jnp.asarray(1.0 / denom, dtype)
@@ -242,7 +329,13 @@ class FastDiagHelmholtz:
 
     def solve(self, b):
         bhat = self._transform(self._Qinv, b.astype(self.dtype))
-        return self._transform(self._Q, bhat * self.inv_lam)
+        if self._fft_axes:
+            bhat = jnp.fft.rfftn(bhat, axes=self._fft_axes)
+        xhat = bhat * self.inv_lam
+        if self._fft_axes:
+            xhat = jnp.fft.irfftn(xhat, s=self._fft_sizes,
+                                  axes=self._fft_axes).astype(self.dtype)
+        return self._transform(self._Q, xhat)
 
 
 def helmholtz_lines(mesh, bcset, c: int) -> list[dict]:

@@ -145,12 +145,48 @@ class DecoupledIBPMSolver(ForcesLogMixin, NavierStokesSolver):
                 self._solve_forces = solve_forces_static
                 return
 
+            # moving bodies: warm-inverse refinement.  EBNH is built from
+            # translation-covariant delta windows, so for rigid motion
+            # within the (uniform) body region EBNH(t) differs from
+            # EBNH(coords0) only by sub-cell phase — the setup-time
+            # inverse at the reference coordinates remains a strong
+            # preconditioner at ANY excursion, and 1-3 matrix-free
+            # refinement passes (small matvec + one windowed E/H sweep
+            # each) replace the per-step dense block build +
+            # jnp.linalg.solve (which cost ~2x the rest of the step,
+            # round-4 measurement in validation/oscillating.json).  A
+            # lax.cond falls back to the dense direct solve whenever the
+            # refinement exits above tolerance (e.g. deforming windows).
+            import numpy as np
+
+            from ..linalg.fdm import make_fdm_solver
+
+            mats0 = dense_blocks(self._static_windows)
+            inv0 = [jnp.asarray(
+                np.linalg.inv(np.asarray(m, np.float64)), dtype)
+                for m in mats0]
+
+            class _Inv0:
+                @staticmethod
+                def solve(r):
+                    return jnp.stack(
+                        [inv0[c] @ r[:, c] for c in range(dim)], axis=1)
+
             def solve_forces(rhsf, win, x0=None):
-                mats = dense_blocks(win)
-                df = jnp.stack(
-                    [jnp.linalg.solve(mats[c], rhsf[:, c])
-                     for c in range(dim)], axis=1)
-                return _result(df, rhsf, mats, win)
+                refine = make_fdm_solver(
+                    _Inv0, lambda df: ebnh(df, win), fopts)
+                res = refine(rhsf,
+                             jnp.zeros_like(rhsf) if x0 is None else x0)
+
+                def fallback(_):
+                    mats = dense_blocks(win)
+                    df = jnp.stack(
+                        [jnp.linalg.solve(mats[c], rhsf[:, c])
+                         for c in range(dim)], axis=1)
+                    return _result(df, rhsf, mats, win)
+
+                return jax.lax.cond(res.converged, lambda r: r, fallback,
+                                    res)
 
             self._solve_forces = solve_forces
             return

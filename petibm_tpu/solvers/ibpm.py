@@ -86,11 +86,131 @@ class IBPMSolver(ForcesLogMixin, NavierStokesSolver):
 
         self._G_combined = G_combined
 
+        # Direct Schur-complement solve (stationary bodies, BN=1): the
+        # pressure block A_pp = -D B1 G has an exact fast-diagonalization
+        # inverse, so the {p, f} block system is directly solvable via a
+        # setup-time dense force-space Schur complement — no outer Krylov
+        # at all (the reference iterates AmgX/KSP on the nested system
+        # every step, ibpm.cpp:100-203).  Opt out with
+        # parameters.coupledDirect: false.
+        params = config.get("parameters", {})
+        pc = popts.get("pc", "mg")
+        use_direct = (not self.is_ref_p and self.bn_order == 1
+                      and not self.delta.windowed
+                      and self.sharding_mesh is None
+                      and pc in ("mg", "fdm")
+                      and bool(params.get("coupledDirect", True)))
+        if use_direct:
+            p_pre = self._make_poisson_pc(popts)
+            if getattr(self, "poisson_fdm", None) is not None:
+                self._coupled_solver = self._build_schur_solver(negM, popts)
+                return
+            # FDM unavailable (fdm: false) — fall through to the CG path
+            self._finish_cg_solver(config, popts, negM, p_pre)
+            return
+        self._finish_cg_solver(config, popts, negM, None)
+
+    # ------------------------------------------------------------------
+    def _build_schur_solver(self, negM, popts: dict):
+        """Setup-time block elimination of the coupled system.
+
+        With A_pp = -D B1 G (exactly FDM-invertible), A_pf = D B1 H,
+        A_fp = -E B1 G, A_ff = E B1 H, the dense force-space Schur
+        complement
+
+            S = A_ff - A_fp A_pp^+ A_pf = E B1 H + (E B1 G) A_pp^+ (D B1 H)
+
+        is formed column-by-column by running the FDM solver over the
+        N*dim columns of D B1 H (batched on the MXU), inverted once on the
+        host in float64, and each per-step solve becomes: one FDM pressure
+        solve, two small dense matvecs, one FDM correction solve.  The
+        constant-pressure nullspace is consistent with this elimination
+        because every A_pf column is plain-sum-free (H f has compact
+        interior support, so sum(D B1 H f) telescopes to zero boundary
+        flux) and A_fp annihilates constants (G const = 0).  Wrapped in
+        make_fdm_solver for true-residual refinement with KSP stopping
+        semantics (iters counts refinement passes)."""
+        import numpy as np
+
+        from ..linalg.fdm import make_fdm_solver
+
+        fdm = self.poisson_fdm
+        delta, win, bn = self.delta, self._win, self.bn
+        grad, div = self.grad, self.div
+        N, dim, dtype = self.bodies.n_pts, self.mesh.dim, self.dtype
+        m = N * dim
+
+        def col(e_flat):
+            f = e_flat.reshape(N, dim)
+            h = bn(delta.spread(f, win))                 # B1 H e
+            a = delta.interpolate(h, win)                # E B1 H e
+            y = fdm.solve(div(h, None, homogeneous=True))  # A_pp^+ D B1 H e
+            s2 = delta.interpolate(bn(grad(y)), win)     # E B1 G y
+            return (a + s2).reshape(-1)
+
+        # chunked vmap: cap the live per-chunk field batch near 128 MB
+        ncells = 1
+        for s in self.mesh.shape(Field.P):
+            ncells *= s
+        chunk = max(1, min(64, (1 << 25) // max(ncells, 1)))
+        pad = (-m) % chunk
+        eye = jnp.eye(m, dtype=dtype)
+        if pad:
+            eye = jnp.concatenate(
+                [eye, jnp.zeros((pad, m), dtype)], axis=0)
+        cols = jax.lax.map(jax.vmap(col), eye.reshape(-1, chunk, m))
+        S = np.asarray(cols.reshape(-1, m)[:m], np.float64).T
+        # the coupled operator is symmetric (tested by
+        # test_ibpm_coupled_operator_symmetric), hence so is S; averaging
+        # halves the f32 column-estimation noise before inversion
+        S = 0.5 * (S + S.T)
+        Sinv = jnp.asarray(np.linalg.inv(S), dtype)
+
+        class _Schur:
+            def solve(self, r):
+                y = fdm.solve(r["p"])
+                g = r["f"].reshape(-1) + delta.interpolate(
+                    bn(grad(y)), win).reshape(-1)
+                df = Sinv @ g
+                f2 = df.reshape(N, dim)
+                dp = fdm.solve(r["p"] - div(
+                    bn(delta.spread(f2, win)), None, homogeneous=True))
+                return {"p": dp, "f": f2}
+
+        schur = _Schur()
+        mode = str(self.config.get("parameters", {}).get(
+            "coupledMode", "pcg"))
+        if mode == "direct":
+            # plain refinement: cheapest when it converges, but its f32
+            # recurrence floor sits near ~1e-5 * ||intermediates|| — at
+            # 986^2 (re3000) that lands *above* atol 1e-6 and the
+            # stagnation exit trips the divergence policy.  The default
+            # wraps the same exact inverse as a CG preconditioner: the
+            # Krylov minimization reaches the tolerance in 1-3 iterations
+            # at essentially the same cost per step.
+            return make_fdm_solver(schur, negM, popts)
+
+        def M_pre(r):
+            out = schur.solve(r)
+            return {"p": out["p"] - jnp.mean(out["p"]), "f": out["f"]}
+
+        from ..linalg import make_solver as _mk
+        return _mk(negM, popts, M=M_pre)
+
+    # ------------------------------------------------------------------
+    def _finish_cg_solver(self, config: dict, popts: dict, negM,
+                          p_pre) -> None:
+        """The outer-CG coupled solver (pinned-pressure parity mode, BN>1,
+        windowed large bodies, sharded runs, and coupledDirect: false)."""
+        delta, win, bn = self.delta, self._win, self.bn
+        grad, div = self.grad, self.div
+
         # pressure block: MG V-cycle or probed-diagonal Jacobi; force block:
         # analytic order-1 diag (diag(E B1 H) = dt * prod_d sum_k wd*wv)
         pc = popts.get("pc", "mg")
         if pc in ("mg", "fdm"):
-            p_pre = self._make_poisson_pc(popts)
+            if p_pre is None:
+                p_pre = self._make_poisson_pc(popts)
             if p_pre is None and getattr(self, "poisson_fdm", None) is not None:
                 # fast-diagonalization pseudo-inverse (linalg/fdm.py): the
                 # *exact* SPD inverse of the pressure block -D B1 G, a

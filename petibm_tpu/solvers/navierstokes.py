@@ -287,7 +287,8 @@ class NavierStokesSolver:
             helm = {VEL_NAMES[c]: FastDiagHelmholtz(
                 helmholtz_lines(mesh, self.bc, c), self.dt, cnu,
                 dtype=self.dtype,
-                precision=fdm_cfg.get("velocityPrecision", "default"))
+                precision=fdm_cfg.get("velocityPrecision", "default"),
+                use_fft=bool(fdm_cfg.get("fft", True)))
                 for c in range(mesh.dim)}
 
             class _HelmDict:
@@ -415,7 +416,8 @@ class NavierStokesSolver:
                 self.poisson_fdm = FastDiagPoisson(
                     self.mesh.dxp, self.mesh.periodic, dtype=self.dtype,
                     scale=self.dt,
-                    precision=fdm_cfg.get("precision", "highest"))
+                    precision=fdm_cfg.get("precision", "highest"),
+                    use_fft=bool(fdm_cfg.get("fft", True)))
                 # "direct" default (round-4 final): with warm-started,
                 # recurrence-residual refinement the direct solve is both
                 # faster (0.149 vs 0.189 ms/step at 450^2; 11.1 vs 11.7

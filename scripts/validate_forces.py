@@ -62,9 +62,43 @@ def run(cfg: dict, solver_cls) -> tuple:
     solver = solver_cls(cfg)
     t1 = time.perf_counter()
     solver.run()
-    solver.close()
     t2 = time.perf_counter()
+    solver._steady_ms = steady_step_ms(solver)
+    solver.close()
     return solver, t1 - t0, t2 - t1
+
+
+def steady_step_ms(solver) -> float | None:
+    """Steady-state step time on the developed final state — run_s/nt
+    conflates the one-time XLA compile of the chunked-scan program with
+    compute (e.g. ~47 of re550's 59 run_s seconds were compile), so each
+    record carries both.  Reuses the already-compiled chunk program and
+    bench.py's honest sync (block_until_ready acks before execution over
+    the tunneled TPU; only a data-dependent device_get truly blocks), and
+    sizes the measured span to ~2 s so the ~30-50 ms relay round trip
+    stays in the noise."""
+    import jax
+
+    if solver._chunk_fn is None:
+        return None
+    k = solver.steps_per_dispatch
+    state = solver.state
+
+    def sync(stats):
+        return float(jax.device_get(stats["p_res"])[-1])
+
+    state, stats = solver._chunk_fn(state)
+    sync(stats)
+    t0 = time.perf_counter()
+    state, stats = solver._chunk_fn(state)
+    sync(stats)
+    rough = time.perf_counter() - t0  # one chunk + one sync, seconds
+    m = min(40, max(1, int(round(2.0 / max(rough, 0.05)))))
+    t0 = time.perf_counter()
+    for _ in range(m):
+        state, stats = solver._chunk_fn(state)
+    sync(stats)
+    return (time.perf_counter() - t0) / (m * k) * 1e3
 
 
 def emit(case: str, result: dict) -> None:
@@ -75,13 +109,21 @@ def emit(case: str, result: dict) -> None:
         fh.write(line + "\n")
 
 
-def platform_detail(setup_s: float, run_s: float, nt: int) -> dict:
+def platform_detail(setup_s: float, run_s: float, nt: int,
+                    solver=None) -> dict:
     import jax
 
-    return {"platform": jax.devices()[0].platform,
-            "device": str(jax.devices()[0]),
-            "setup_s": round(setup_s, 1), "run_s": round(run_s, 1),
-            "steps": nt, "ms_per_step": round(run_s / nt * 1e3, 3)}
+    out = {"platform": jax.devices()[0].platform,
+           "device": str(jax.devices()[0]),
+           "setup_s": round(setup_s, 1), "run_s": round(run_s, 1),
+           "steps": nt, "ms_per_step": round(run_s / nt * 1e3, 3)}
+    steady = getattr(solver, "_steady_ms", None)
+    if steady is not None:
+        out["steady_ms_per_step"] = round(steady, 3)
+        out["note"] = ("ms_per_step = run_s/steps includes the one-time "
+                       "XLA compile; steady_ms_per_step is the developed-"
+                       "state compute rate")
+    return out
 
 
 # ----------------------------------------------------------------------
@@ -104,7 +146,7 @@ def case_re40(args) -> None:
         "cd_final": round(cd_end, 4), "t_final": float(t[-1]),
         "target": "Cd 1.5-1.6 at t=20 (Koumoutsakos & Leonard 1995)",
         "pass": bool(1.5 <= cd_end <= 1.65),
-        "detail": platform_detail(setup_s, run_s, len(t)),
+        "detail": platform_detail(setup_s, run_s, len(t), solver),
     }
     emit("re40", result)
 
@@ -142,7 +184,7 @@ def case_re200(args) -> None:
                   "(Braza et al. 1986; Liu et al. 1998)",
         "pass": bool(1.25 <= cd_mean <= 1.45 and 0.5 <= cl_amp <= 0.8
                      and strouhal and 0.185 <= strouhal <= 0.215),
-        "detail": platform_detail(setup_s, run_s, len(t)),
+        "detail": platform_detail(setup_s, run_s, len(t), solver),
     }
     emit("re200", result)
 
@@ -184,7 +226,7 @@ def case_oscillating(args) -> None:
         "t_final": float(t[-1]),
         "target": "CD ~ 2.09, CM ~ 1.45 (Dutsch et al. 1998, Re=100 KC=5)",
         "pass": bool(1.85 <= cd_fit <= 2.35 and 1.2 <= cm_fit <= 1.7),
-        "detail": platform_detail(setup_s, run_s, len(t)),
+        "detail": platform_detail(setup_s, run_s, len(t), solver),
     }
     emit("oscillating", result)
 
@@ -211,7 +253,7 @@ def case_sphere300(args) -> None:
         "t_final": float(t[-1]),
         "target": "Cd ~ 0.63-0.68, Cl ~ 0.04-0.09 (Johnson & Patel 1999)",
         "pass": bool(0.60 <= cd_mean <= 0.72),
-        "detail": platform_detail(setup_s, run_s, len(t)),
+        "detail": platform_detail(setup_s, run_s, len(t), solver),
     }
     emit("sphere300", result)
 
@@ -285,7 +327,7 @@ def _case_kl_cylinder(args, name: str, re: int, rms_tol: float,
                   "the digitized K&L 1995 curve for t in [0.5, 3]",
         "pass": bool(cmp["rms_dev"] <= rms_tol
                      and cmp["max_abs_dev"] <= max_tol),
-        "detail": platform_detail(setup_s, run_s, len(t)),
+        "detail": platform_detail(setup_s, run_s, len(t), solver),
     }
     emit(name, result)
 
@@ -435,7 +477,7 @@ def case_multicylinders(args) -> None:
                   "gives Cd 1.71-1.76, St 0.19-0.20); symmetric pair "
                   "statistics match",
         "pass": bool(ok),
-        "detail": platform_detail(setup_s, run_s, len(t)),
+        "detail": platform_detail(setup_s, run_s, len(t), solver),
     }
     emit("multicylinders", result)
 

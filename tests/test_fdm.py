@@ -49,6 +49,62 @@ def test_direct_solve_3d():
                   [False, False, True])
 
 
+def test_fft_path_matches_eigh():
+    """Periodic uniform axes take the rfft/irfft circulant path; it must
+    agree with the dense-eigh transforms (f32: to rounding; the existing
+    periodic tests above already pin the FFT path against the MG operator
+    at 1e-10 in f64)."""
+    cases = [
+        ([np.full(32, 0.05), np.full(48, 0.03)], [True, True], 2),
+        ([np.full(32, 0.05), _stretched(21)], [True, False], 1),
+        ([np.full(12, 0.1), np.full(16, 0.05), _stretched(9)],
+         [True, True, False], 2),
+    ]
+    rng = np.random.default_rng(5)
+    for dxp, periodic, n_fft in cases:
+        a = FastDiagPoisson(dxp, periodic, dtype=jnp.float32, scale=0.01)
+        b = FastDiagPoisson(dxp, periodic, dtype=jnp.float32, scale=0.01,
+                            use_fft=False)
+        assert len(a._fft_axes) == n_fft and not b._fft_axes
+        shape = tuple(reversed([len(d) for d in dxp]))
+        r = rng.standard_normal(shape).astype(np.float32)
+        xa = np.asarray(a.solve(jnp.asarray(r)))
+        xb = np.asarray(b.solve(jnp.asarray(r)))
+        scale = max(1.0, float(np.abs(xb).max()))
+        np.testing.assert_allclose(xa, xb, atol=3e-5 * scale)
+
+
+def test_fft_path_skips_stretched_periodic():
+    """A periodic but STRETCHED axis is tridiagonal-circulant only in the
+    wraparound sense, not circulant — it must keep the dense transforms."""
+    fdm = FastDiagPoisson([_stretched(16), np.full(12, 0.1)],
+                          [True, True], dtype=jnp.float64, scale=0.5)
+    assert fdm._fft_axes == (0,)  # only uniform direction y (array axis 0)
+
+
+def test_fft_helmholtz_matches_eigh():
+    from petibm_tpu.linalg.fdm import FastDiagHelmholtz
+
+    n, h = 24, 0.04
+    dl = _stretched(17)
+    mid = 0.5 * (dl[:-1] + dl[1:])  # W-symmetry needs dneg[i+1] = dpos[i]
+    lines = [
+        {"dl": np.full(n, h), "dneg": np.full(n, h), "dpos": np.full(n, h),
+         "a0": None, "periodic": True},
+        {"dl": dl, "dneg": np.concatenate([[0.6 * dl[0]], mid]),
+         "dpos": np.concatenate([mid, [0.6 * dl[-1]]]),
+         "a0": (1.0, -1.0), "periodic": False},
+    ]
+    a = FastDiagHelmholtz(lines, dt=0.01, cnu=0.02, dtype=jnp.float64)
+    b = FastDiagHelmholtz(lines, dt=0.01, cnu=0.02, dtype=jnp.float64,
+                          use_fft=False)
+    assert a._fft_axes == (1,) and not b._fft_axes
+    rng = np.random.default_rng(9)
+    r = jnp.asarray(rng.standard_normal((17, n)))
+    np.testing.assert_allclose(np.asarray(a.solve(r)),
+                               np.asarray(b.solve(r)), atol=1e-11)
+
+
 def test_float32_accuracy():
     """f32: the direct pass lands ~1e-5 relative (set by the operator's
     conditioning at f32 rounding) and ONE refinement pass reaches the

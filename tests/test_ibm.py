@@ -223,6 +223,42 @@ def test_ibpm_short_run(tmp_path):
     assert float(lines[-1].split("\t")[1]) > 0.0  # positive drag
 
 
+def test_ibpm_direct_schur_matches_cg(tmp_path):
+    """The setup-time Schur-complement solve (default: CG preconditioned
+    by the exact block inverse; coupledMode 'direct' = plain refinement)
+    and the retained outer-CG path solve the same {p, f} block system:
+    5-step force histories agree to the f32 conditioning floor, and the
+    Schur paths converge in a handful of passes, not a Krylov loop."""
+    da, dd, db = tmp_path / "a", tmp_path / "d", tmp_path / "b"
+    da.mkdir(), dd.mkdir(), db.mkdir()
+    sa = IBPMSolver(ib_config(da, nt=5))
+    sa.run()
+    fa = np.asarray(sa.state["f"])
+    sa.close()
+    lines = (da / "output" / "iterations-0.txt").read_text().strip()
+    p_iters = [int(l.split("\t")[3]) for l in lines.splitlines()]
+    assert max(p_iters) <= 6  # exact-inverse-preconditioned CG
+
+    sd = IBPMSolver(ib_config(dd, nt=5,
+                              solver_extra={"coupledMode": "direct"}))
+    assert getattr(sd._coupled_solver, "__qualname__",
+                   "").startswith("make_fdm_solver")
+    sd.run()
+    fd = np.asarray(sd.state["f"])
+    sd.close()
+
+    sb = IBPMSolver(ib_config(db, nt=5,
+                              solver_extra={"coupledDirect": False}))
+    assert not getattr(sb._coupled_solver, "__qualname__",
+                       "").startswith("make_fdm_solver")
+    sb.run()
+    fb = np.asarray(sb.state["f"])
+    sb.close()
+    scale = np.abs(fb).max()
+    assert np.abs(fa - fb).max() <= 0.03 * scale
+    assert np.abs(fa - fd).max() <= 0.01 * scale  # same Schur inverse
+
+
 def test_rigidkinematics_oscillation_smoke(tmp_path):
     cfg = ib_config(tmp_path, nt=3)
     cfg["bodies"][0]["kinematics"] = {
@@ -239,6 +275,34 @@ def test_rigidkinematics_oscillation_smoke(tmp_path):
     # body moved in x only
     assert abs(c0[:, 0].mean() - c3[:, 0].mean()) > 1e-6
     np.testing.assert_allclose(c0[:, 1], c3[:, 1], atol=1e-12)
+
+
+def test_rigidkinematics_warm_inverse_matches_krylov(tmp_path):
+    """Moving bodies solve EBNH df = rhsf with the coords0 warm inverse +
+    matrix-free refinement (dense fallback under lax.cond); it must agree
+    with the matrix-free Krylov path (forcesSolver dense: false) on the
+    same trajectory."""
+    da, db = tmp_path / "a", tmp_path / "b"
+    da.mkdir(), db.mkdir()
+    kin = {"type": "oscillation", "f": 0.2, "D": 0.4, "KC": 2.0}
+
+    cfg = ib_config(da, nt=6)
+    cfg["bodies"][0]["kinematics"] = dict(kin)
+    sa = RigidKinematicsSolver(cfg)
+    sa.run()
+    fa = np.asarray(sa.state["f"])
+    sa.close()
+
+    cfg2 = ib_config(db, nt=6)
+    cfg2["bodies"][0]["kinematics"] = dict(kin)
+    cfg2["parameters"]["forcesSolver"] = {"type": "CPU", "dense": False,
+                                          "atol": 1e-9, "max_it": 2000}
+    sb = RigidKinematicsSolver(cfg2)
+    sb.run()
+    fb = np.asarray(sb.state["f"])
+    sb.close()
+    scale = max(np.abs(fb).max(), 1e-30)
+    assert np.abs(fa - fb).max() <= 2e-3 * scale
 
 
 def make_sphere_file(tmp_path, r=0.15, center=(0.5, 0.5, 0.5)):

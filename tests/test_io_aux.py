@@ -126,3 +126,52 @@ def test_xdmf_structure(tmp_path):
     assert "grid.h5:/u/x" in text
     assert "0000050.h5:/u" in text and "0000100.h5:/u" in text
     assert text.count("<Grid GridType=\"Uniform\"") == 3
+
+
+def test_amgx_solver_options_parsed(tmp_path):
+    """The reference's GPU cases point solver configs at AmgX key=value
+    files (examples/ibpm/cylinder2dRe550_GPU/config/poisson_solver.info,
+    consumed by linsolveramgx.cpp:54-126); those must carry over with
+    tolerances honored, with nested-scope knobs (the AMG preconditioner's
+    own max_iters=1) correctly ignored."""
+    from petibm_tpu.config import parse_solver_options
+
+    path = tmp_path / "poisson_solver.info"
+    path.write_text("""\
+config_version=2
+communicator=MPI
+determinism_flag=1
+
+solver(solv)=PCG
+solv:max_iters=1000
+solv:monitor_residual=1
+solv:convergence=ABSOLUTE
+solv:tolerance=1.0E-06
+solv:norm=L2
+solv:preconditioner(prec)=AMG
+
+prec:algorithm=AGGREGATION
+prec:max_iters=1
+prec:cycle=V
+prec:smoother(smooth)=BLOCK_JACOBI
+smooth:relaxation_factor=0.9
+""")
+    opts = parse_solver_options(str(path))
+    assert opts["type"] == "cg"
+    assert opts["atol"] == 1e-6 and opts["rtol"] == 0.0
+    assert opts["max_it"] == 1000  # NOT the preconditioner's 1
+    assert opts["pc"] == "mg" and opts["pc_explicit"]
+
+    # relative convergence maps to rtol; BiCGStab velocity configs
+    path2 = tmp_path / "velocity_solver.info"
+    path2.write_text("solver(s)=PBICGSTAB\ns:convergence=RELATIVE_INI_CORE\n"
+                     "s:tolerance=1.0E-05\ns:max_iters=300\n")
+    opts2 = parse_solver_options(str(path2))
+    assert opts2["type"] == "bicgstab"
+    assert opts2["rtol"] == 1e-5 and opts2["atol"] == 0.0
+    assert opts2["max_it"] == 300
+
+    # PETSc-format files keep taking the PETSc path
+    path3 = tmp_path / "petsc.info"
+    path3.write_text("-poisson_ksp_type cg\n-poisson_ksp_atol 1.0E-08\n")
+    assert parse_solver_options(str(path3))["atol"] == 1e-8
