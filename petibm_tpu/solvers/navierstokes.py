@@ -290,6 +290,10 @@ class NavierStokesSolver:
                 precision=fdm_cfg.get("velocityPrecision", "default"),
                 use_fft=bool(fdm_cfg.get("fft", True)))
                 for c in range(mesh.dim)}
+            if (self.sharding_mesh is not None
+                    and bool(fdm_cfg.get("repartition", True))):
+                for h in helm.values():
+                    h.set_mesh(self.sharding_mesh)
 
             class _HelmDict:
                 @staticmethod
@@ -418,6 +422,12 @@ class NavierStokesSolver:
                     scale=self.dt,
                     precision=fdm_cfg.get("precision", "highest"),
                     use_fft=bool(fdm_cfg.get("fft", True)))
+                if (self.sharding_mesh is not None
+                        and bool(fdm_cfg.get("repartition", True))):
+                    # transform-axis repartitioning: all-to-all reshard
+                    # between per-axis transforms instead of full-grid
+                    # all-reduces (validation/collectives.json)
+                    self.poisson_fdm.set_mesh(self.sharding_mesh)
                 # "direct" default (round-4 final): with warm-started,
                 # recurrence-residual refinement the direct solve is both
                 # faster (0.149 vs 0.189 ms/step at 450^2; 11.1 vs 11.7
