@@ -102,6 +102,9 @@ def steady_step_ms(solver) -> float | None:
 
 
 def emit(case: str, result: dict) -> None:
+    from provenance import provenance
+
+    result.setdefault("provenance", provenance())
     os.makedirs(os.path.join(REPO, "validation"), exist_ok=True)
     line = json.dumps(result)
     print(line)

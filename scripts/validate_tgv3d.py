@@ -109,6 +109,9 @@ def main() -> int:
     }
     out_dir = os.environ.get("PETIBM_VALIDATION_DIR",
                              os.path.join(REPO, "validation"))
+    from provenance import provenance
+
+    result["provenance"] = provenance()
     line = json.dumps(result)
     print(line)
     with open(os.path.join(out_dir, "tgv3d.json"), "w") as fh:

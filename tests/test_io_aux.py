@@ -175,3 +175,24 @@ smooth:relaxation_factor=0.9
     path3 = tmp_path / "petsc.info"
     path3.write_text("-poisson_ksp_type cg\n-poisson_ksp_atol 1.0E-08\n")
     assert parse_solver_options(str(path3))["atol"] == 1e-8
+
+
+def test_amgx_gpu_case_carries_over():
+    """The shipped cylinder2dRe550_GPU case (reference AmgX wiring) must
+    resolve its Poisson tolerances from the AmgX file and select the
+    pinned-pressure (GPU) backend."""
+    import os
+
+    from petibm_tpu.config import load_config, solver_config
+
+    d = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "ibpm",
+        "cylinder2dRe550_GPU")
+    cfg = load_config(directory=d)
+    popts = solver_config(cfg, "poisson")
+    assert popts["backend"] == "GPU"
+    assert popts["atol"] == 1e-6 and popts["rtol"] == 0.0
+    assert popts["max_it"] == 20000
+    assert popts["pc"] == "mg" and popts["pc_explicit"]
+    vopts = solver_config(cfg, "velocity")
+    assert vopts["type"] == "bicgstab" and vopts["atol"] == 1e-6
