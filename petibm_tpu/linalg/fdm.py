@@ -111,19 +111,15 @@ class _ShardedTransformCore:
 
         self.fwd = [padmat(fwd[d], padded[d]) for d in range(dim)]
         self.bwd = [padmat(bwd[d], padded[d]) for d in range(dim)]
-        # inv_lam padded with zeros on the x/y axes (pad modes annihilate)
-        # and pre-sharded where the eigen-multiply consumes it, so the
-        # compiled program reshards nothing at the shard_map boundary
-        from jax.sharding import NamedSharding, PartitionSpec
-
+        # inv_lam padded with zeros on the x/y axes (pad modes annihilate).
+        # Kept as a plain (process-local) array: the shard_map in_spec
+        # distributes it at compile time, and a device_put with a mesh
+        # sharding here would be illegal to close over in multi-process
+        # runs (spans non-addressable devices).
         pads = [(0, 0)] * dim
         pads[self.ax_x] = (0, padded[0] - sizes[0])
         pads[self.ax_y] = (0, padded[1] - sizes[1])
-        spec_x = [None] * dim
-        spec_x[self.ax_x] = self.names
-        self.inv_lam = jax.device_put(
-            jnp.pad(inv_lam.astype(dtype), pads),
-            NamedSharding(mesh, PartitionSpec(*spec_x)))
+        self.inv_lam = jnp.pad(inv_lam.astype(dtype), pads)
 
     def solve_padded(self, b):
         try:

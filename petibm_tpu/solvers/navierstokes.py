@@ -288,7 +288,7 @@ class NavierStokesSolver:
                 helmholtz_lines(mesh, self.bc, c), self.dt, cnu,
                 dtype=self.dtype,
                 precision=fdm_cfg.get("velocityPrecision", "default"),
-                use_fft=bool(fdm_cfg.get("fft", True)))
+                use_fft=bool(fdm_cfg.get("fft", False)))
                 for c in range(mesh.dim)}
             if (self.sharding_mesh is not None
                     and bool(fdm_cfg.get("repartition", True))):
@@ -421,7 +421,7 @@ class NavierStokesSolver:
                     self.mesh.dxp, self.mesh.periodic, dtype=self.dtype,
                     scale=self.dt,
                     precision=fdm_cfg.get("precision", "highest"),
-                    use_fft=bool(fdm_cfg.get("fft", True)))
+                    use_fft=bool(fdm_cfg.get("fft", False)))
                 if (self.sharding_mesh is not None
                         and bool(fdm_cfg.get("repartition", True))):
                     # transform-axis repartitioning: all-to-all reshard

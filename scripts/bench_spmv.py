@@ -101,7 +101,87 @@ def bench_apply(fn, phi, repeats=5):
     return (time.perf_counter() - t0) / (repeats * CHAIN)
 
 
+def _time_chain(fn, phi, K: int, target_s: float = 1.0):
+    """Seconds per program of K chained applies (>= target_s measured)."""
+    run = jax.jit(lambda p: jax.lax.fori_loop(0, K, lambda i, x: fn(x), p))
+    out = run(phi)
+    _sync(out)
+    t0 = time.perf_counter()
+    out = run(out)
+    _sync(out)
+    rough = time.perf_counter() - t0
+    reps = max(2, int(round(target_s / max(rough, 1e-3))))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run(out)
+    _sync(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def chain_sweep():
+    """Decompose the per-apply floor: time K in {1, 16, 256} chained
+    applies in one program each; the 16->256 slope is the true marginal
+    per-apply device cost (dispatch+sync excluded), the intercept the
+    per-program overhead.  An elementwise saxpy control at the same array
+    size separates loop/runtime fixed cost from the stencil itself."""
+    dev = jax.devices()[0]
+    bw = stream_bw_bytes_per_s()
+    results = []
+    for name, ns in (("450sq_stretched", (450, 450)),
+                     ("1024sq_uniform", (1024, 1024)),
+                     ("2048sq_uniform", (2048, 2048))):
+        mg, phi = make_level(ns, stretched="stretched" in name)
+        ncells = int(np.prod(ns))
+        pts = 2 * len(ns) + 1
+        nnz = pts * ncells
+        sol_nnz_s = bw * nnz / (2 * ncells * 4)
+
+        from petibm_tpu.operators.pallas_stencil import make_pallas_poisson
+
+        fused = make_pallas_poisson(mg)
+        fn = jax.jit(fused) if fused is not None else jax.jit(
+            lambda p: mg.apply_op(0, p))
+
+        t = {K: _time_chain(fn, phi, K) for K in (1, 16, 256)}
+        marginal = (t[256] - t[16]) / 240.0
+        program_overhead = t[16] - 16 * marginal
+
+        y = jnp.full_like(phi, 1e-9)
+        ctrl = jax.jit(lambda x: 2.0 * x + y)
+        tc = {K: _time_chain(ctrl, phi, K) for K in (16, 256)}
+        ctrl_marginal = (tc[256] - tc[16]) / 240.0
+
+        results.append({
+            "metric": f"poisson_spmv_chain_{name}",
+            "value": round(nnz / marginal / 1e9, 3),
+            "unit": "Gnnz/s (marginal, dispatch-free)",
+            "vs_roofline": round((nnz / marginal) / sol_nnz_s, 3),
+            "detail": {
+                "device": str(dev),
+                "ms_marginal_per_apply": round(marginal * 1e3, 4),
+                "ms_program_overhead": round(program_overhead * 1e3, 3),
+                "ms_K1_program": round(t[1] * 1e3, 3),
+                "ms_elementwise_marginal": round(ctrl_marginal * 1e3, 4),
+                "stencil_vs_elementwise": round(marginal / ctrl_marginal, 2)
+                if ctrl_marginal > 0 else None,
+                "stream_GBps": round(bw / 1e9, 1),
+                "kernel": "pallas" if fused is not None else "xla",
+            },
+        })
+    for r in results:
+        print(json.dumps(r))
+    return results
+
+
 def main():
+    if "--chain-sweep" in sys.argv:
+        results = chain_sweep()
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "validation", "perf_spmv.jsonl")
+        with open(path, "a") as fh:
+            for r in results:
+                fh.write(json.dumps(r) + "\n")
+        return
     dev = jax.devices()[0]
     results = []
     bw = stream_bw_bytes_per_s()

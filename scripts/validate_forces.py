@@ -105,10 +105,13 @@ def emit(case: str, result: dict) -> None:
     from provenance import provenance
 
     result.setdefault("provenance", provenance())
-    os.makedirs(os.path.join(REPO, "validation"), exist_ok=True)
+    # slow-tier tests redirect records to a temp dir via this env var
+    vdir = os.environ.get("PETIBM_VALIDATION_DIR",
+                          os.path.join(REPO, "validation"))
+    os.makedirs(vdir, exist_ok=True)
     line = json.dumps(result)
     print(line)
-    with open(os.path.join(REPO, "validation", f"{case}.json"), "w") as fh:
+    with open(os.path.join(vdir, f"{case}.json"), "w") as fh:
         fh.write(line + "\n")
 
 

@@ -109,6 +109,20 @@ def main() -> int:
     }
     out_dir = os.environ.get("PETIBM_VALIDATION_DIR",
                              os.path.join(REPO, "validation"))
+    # steady-state step rate with the compile excluded (same method as
+    # validate_forces.steady_step_ms: chunked program + device_get sync)
+    import time as _time
+
+    st, stats = solver._chunk_fn(solver.state)
+    float(jax.device_get(stats["p_res"])[-1])
+    t0 = _time.perf_counter()
+    for _ in range(4):
+        st, stats = solver._chunk_fn(st)
+    float(jax.device_get(stats["p_res"])[-1])
+    result["detail"]["steady_ms_per_step"] = round(
+        (_time.perf_counter() - t0) / (4 * solver.steps_per_dispatch) * 1e3,
+        3)
+
     from provenance import provenance
 
     result["provenance"] = provenance()
