@@ -117,30 +117,47 @@ class DecoupledIBPMSolver(ForcesLogMixin, NavierStokesSolver):
             if not self._moving_bodies:
                 # stationary bodies: the blocks are constant, so invert
                 # them ONCE at setup (host numpy, f64) — the per-step
-                # solve becomes two (N, N) MXU matvecs (inverse apply +
-                # one matvec refinement pass against the f32 blocks,
-                # which removes the kappa*eps inverse-apply error).
-                # Sequential paths (LU triangular substitution) measure
-                # ~5x slower than the matvec form on TPU.  The reference
-                # re-assembles + re-solves EBNH df = rhsf every step even
-                # for static bodies (decoupledibpm.cpp:253-285); moving
-                # bodies keep the per-step path below (rigidkinematics).
+                # solve becomes (N, N) MXU matvecs: inverse apply +
+                # recurrence-residual refinement against the f32 blocks
+                # (make_fdm_solver: warm-started, stagnation-checked KSP
+                # semantics).  A single fixed refinement pass was not
+                # enough at 3D-sphere scale — N ~ 2000 points with block
+                # cond ~ 450 floors the freshly-evaluated residual near
+                # eps*kappa*||rhs|| ~ 1.5e-5, above atol 1e-6, which
+                # aborted the run (latent round-4 regression caught by
+                # the provenance re-validation; the recurrence-residual
+                # loop converges because its arithmetic stays at the
+                # correction scale — see linalg/fdm.py).  Sequential
+                # paths (LU substitution) measure ~5x slower than matvec
+                # form on TPU.  The reference re-assembles + re-solves
+                # EBNH df = rhsf every step even for static bodies
+                # (decoupledibpm.cpp:253-285); moving bodies keep the
+                # warm-inverse path below (rigidkinematics).
                 import numpy as np
+
+                from ..linalg.fdm import make_fdm_solver
 
                 mats = dense_blocks(self._static_windows)
                 inv = [jnp.asarray(
                     np.linalg.inv(np.asarray(m, np.float64)), dtype)
                     for m in mats]
 
+                class _InvBlocks:
+                    @staticmethod
+                    def solve(r):
+                        return jnp.stack(
+                            [inv[c] @ r[:, c] for c in range(dim)],
+                            axis=1)
+
+                def A_dense(df):
+                    return jnp.stack(
+                        [mats[c] @ df[:, c] for c in range(dim)], axis=1)
+
+                refine = make_fdm_solver(_InvBlocks, A_dense, fopts)
+
                 def solve_forces_static(rhsf, win, x0=None):
-                    df = jnp.stack(
-                        [inv[c] @ rhsf[:, c] for c in range(dim)], axis=1)
-                    # one refinement: r and the correction are small
-                    # matvecs, not grid sweeps
-                    df = df + jnp.stack(
-                        [inv[c] @ (rhsf[:, c] - mats[c] @ df[:, c])
-                         for c in range(dim)], axis=1)
-                    return _result(df, rhsf, mats, win)
+                    return refine(rhsf, jnp.zeros_like(rhsf)
+                                  if x0 is None else x0)
 
                 self._solve_forces = solve_forces_static
                 return
@@ -326,12 +343,20 @@ class DecoupledIBPMSolver(ForcesLogMixin, NavierStokesSolver):
         return super()._iter_log_stats(s) + [(s["f_iters"], s["f_res"])]
 
     def _restart_extra(self) -> dict:
-        return dict(super()._restart_extra(), force=self.state["f"])
+        # df rides along because the force solve warm-starts from it
+        # (bit-exact restarts depend on the warm start being identical,
+        # like the base class's dP)
+        return dict(super()._restart_extra(), force=self.state["f"],
+                    dF=self.state["df"])
 
     def _read_restart_extra(self, extra: dict) -> None:
         super()._read_restart_extra(extra)
         if "force" in extra:
             self.state["f"] = jnp.asarray(
                 extra["force"].reshape(self.bodies.n_pts, self.mesh.dim),
+                self.dtype)
+        if "dF" in extra:
+            self.state["df"] = jnp.asarray(
+                extra["dF"].reshape(self.bodies.n_pts, self.mesh.dim),
                 self.dtype)
 
