@@ -98,11 +98,14 @@ def main() -> int:
         with open(path) as fh:
             r = json.load(fh)
         d = r.get("detail", {})
+        steady = d.get("steady_ms_per_step")
+        ms = (f"{steady} steady" if steady is not None
+              else d.get("ms_per_step"))
         lines.append(
             f"| {title} | {target} | {fmt(r)} | "
             f"{'PASS' if r.get('pass') else 'FAIL'} | {d.get('steps')} | "
             f"{d.get('platform')} ({d.get('device', '?')}) | "
-            f"{d.get('ms_per_step')} |")
+            f"{ms} |")
     lines.append("")
     lines.append("Raw records: `validation/<case>.json`.  Cavity Re=100 "
                  "vs Ghia et al. 1982 and the Taylor-Green analytic decay "
