@@ -6,12 +6,17 @@ the finest multigrid level).  The separable structure (linalg/mg.py
 _Level.c1d/w1d) means the only mandatory HBM traffic of an apply is
 read-phi + write-out: coefficients are 1D/broadcast factors.
 
-One kernel is carried — the one that wins:
+Two kernels are carried — the ones that win:
 
 - ``poisson_apply_separable``: whole-array 5/7-point apply with broadcast
   factor operands, everything resident in VMEM.  Measured 0.85-1.5x XLA
   across sessions (par within relay noise; these small applies are
   dispatch-bound — scripts/bench_spmv.py).
+- ``make_zblocked_helmholtz`` / ``make_pallas_momentum``: z-blocked
+  streaming 7-point apply for the 3D implicit momentum operator — 1.76x
+  the extend-based XLA form at 256^3 (1.79 vs 3.15 ms; XLA's 3D stencils
+  run 7-12x off the 2-array roofline in every formulation tried —
+  round-5 A/B in validation/perf_spmv.jsonl).
 
 ``make_pallas_poisson`` returns it for a PoissonMG hierarchy's finest
 level when it fits the measured ~24 MB live-set cap, else None — XLA's
@@ -160,3 +165,202 @@ def make_pallas_poisson(mg, interpret: bool | None = None):
 
     apply_sep.traffic_arrays = 2  # phi + out only (separable factors)
     return apply_sep
+
+
+# ----------------------------------------------------------------------
+# z-blocked streaming 7-point apply (3D momentum Helmholtz operator)
+#
+# XLA's fused 3D stencil measures ~12x the 2-array roofline at 256^3
+# (1.82 ms for the one-field Poisson form; 3.15 ms for the 3-component
+# extend-based momentum apply) — the pad/shift chains relayout the
+# minor-most tiles instead of streaming.  This kernel pipelines z-blocks
+# of the full (ny, nx) plane through VMEM with two halo PLANES per block
+# (traffic = (1 + 2/bz) reads + 1 write per cell), does the y/x neighbor
+# shifts in-register (static concats, wrap included), and encodes every
+# wall/ghost fold in per-axis 1D coefficient vectors:
+#
+#   out = f * (Dz + Dy + Dx) + CNz*f[k-1] + CPz*f[k+1]
+#                            + CNy*f[j-1] + ... + CPx*f[i+1]
+#
+# with CN*[0] = CP*[n-1] = 0 at non-periodic walls (the a0 ghost fold
+# lives in D*) and periodic z wrap via modular halo-plane index maps.
+
+
+def _hh_kernel(periodic_y, periodic_x, bz: int = 0, nz: int = 0):
+    """``bz``/``nz`` nonzero => the grid doesn't tile nz: zero the padded
+    z rows after load (their content is undefined — possibly NaN, and
+    0 * NaN would poison the last valid row's neighbor term)."""
+    def kernel(flo_ref, f_ref, fhi_ref, dz_ref, cnz_ref, cpz_ref,
+               dy_ref, cny_ref, cpy_ref, dx_ref, cnx_ref, cpx_ref,
+               out_ref):
+        from jax.experimental import pallas as pl
+
+        f = f_ref[:]
+        if bz:
+            gz = (pl.program_id(0) * bz
+                  + jax.lax.broadcasted_iota(jnp.int32, (bz, 1, 1), 0))
+            f = jnp.where(gz < nz, f, 0.0)
+        lo_z = jnp.concatenate([flo_ref[:], f[:-1]], axis=0)
+        hi_z = jnp.concatenate([f[1:], fhi_ref[:]], axis=0)
+        if periodic_y:
+            lo_y = jnp.concatenate([f[:, -1:, :], f[:, :-1, :]], axis=1)
+            hi_y = jnp.concatenate([f[:, 1:, :], f[:, :1, :]], axis=1)
+        else:
+            zy = jnp.zeros_like(f[:, :1, :])
+            lo_y = jnp.concatenate([zy, f[:, :-1, :]], axis=1)
+            hi_y = jnp.concatenate([f[:, 1:, :], zy], axis=1)
+        if periodic_x:
+            lo_x = jnp.concatenate([f[:, :, -1:], f[:, :, :-1]], axis=2)
+            hi_x = jnp.concatenate([f[:, :, 1:], f[:, :, :1]], axis=2)
+        else:
+            zx = jnp.zeros_like(f[:, :, :1])
+            lo_x = jnp.concatenate([zx, f[:, :, :-1]], axis=2)
+            hi_x = jnp.concatenate([f[:, :, 1:], zx], axis=2)
+        out_ref[:] = (f * (dz_ref[:] + dy_ref[:] + dx_ref[:])
+                      + cnz_ref[:] * lo_z + cpz_ref[:] * hi_z
+                      + cny_ref[:] * lo_y + cpy_ref[:] * hi_y
+                      + cnx_ref[:] * lo_x + cpx_ref[:] * hi_x)
+
+    return kernel
+
+
+def make_zblocked_helmholtz(shape, vecs, periodic, dtype,
+                            interpret=False, bz: int = 8):
+    """Compile the z-blocked 7-point apply for one velocity component.
+
+    ``shape`` = (nz, ny, nx); ``vecs`` = dict with per-axis 1D numpy
+    vectors D/CN/CP (keys 'Dz','CNz','CPz','Dy',...,'CPx') already
+    carrying every wall fold; ``periodic`` = (pz, py, px).  Returns
+    ``apply(f) -> out`` or None when the shape doesn't admit the kernel.
+    """
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..linalg.pallas_pcr import _params
+
+    nz, ny, nx = shape
+    pz, py, px = periodic
+    if pz:
+        # periodic z wrap uses modular halo-plane maps: the grid must
+        # tile nz exactly (a padded last block would wrap garbage)
+        while bz > 1 and nz % bz:
+            bz //= 2
+        if nz % bz:
+            return None
+    # non-periodic z: Pallas masks the padded last block's stores, the
+    # halo maps clamp, and CPz[nz-1] = 0 kills the one garbage neighbor
+    nblk = -(-nz // bz)
+    if bz < 2 or nblk < 2:
+        return None
+
+    def as3(vec, axis):
+        s = [1, 1, 1]
+        s[axis] = len(vec)
+        return jnp.asarray(np.asarray(vec).reshape(s), dtype)
+
+    dz, cnz, cpz = (as3(vecs[k], 0) for k in ("Dz", "CNz", "CPz"))
+    dy, cny, cpy = (as3(vecs[k], 1) for k in ("Dy", "CNy", "CPy"))
+    dx, cnx, cpx = (as3(vecs[k], 2) for k in ("Dx", "CNx", "CPx"))
+
+    if pz:
+        lo_map = lambda i: ((i * bz - 1) % nz, 0, 0)
+        hi_map = lambda i: ((i * bz + bz) % nz, 0, 0)
+    else:
+        # clamped halo planes: CNz[0] = CPz[nz-1] = 0 kills the garbage
+        lo_map = lambda i: (jnp.maximum(i * bz - 1, 0), 0, 0)
+        hi_map = lambda i: (jnp.minimum(i * bz + bz, nz - 1), 0, 0)
+
+    plane = pl.BlockSpec((1, ny, nx), lo_map)
+    plane_hi = pl.BlockSpec((1, ny, nx), hi_map)
+    blk = pl.BlockSpec((bz, ny, nx), lambda i: (i, 0, 0))
+    zvec = pl.BlockSpec((bz, 1, 1), lambda i: (i, 0, 0))
+    yvec = pl.BlockSpec((1, ny, 1), lambda i: (0, 0, 0))
+    xvec = pl.BlockSpec((1, 1, nx), lambda i: (0, 0, 0))
+
+    call = pl.pallas_call(
+        _hh_kernel(py, px, bz=(bz if nz % bz else 0), nz=nz),
+        grid=(nblk,),
+        out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dtype),
+        in_specs=[plane, blk, plane_hi, zvec, zvec, zvec,
+                  yvec, yvec, yvec, xvec, xvec, xvec],
+        out_specs=blk,
+        compiler_params=_params(pltpu),
+        interpret=interpret,
+    )
+
+    def apply(f):
+        return call(f, f, f, dz, cnz, cpz, dy, cny, cpy, dx, cnx, cpx)
+
+    apply.traffic_arrays = 2
+    return apply
+
+
+def make_pallas_momentum(mesh, bcset, dt: float, cnu: float, dtype,
+                         interpret: bool | None = None):
+    """Fused z-blocked apply of the implicit momentum operator
+    A u = u/dt - cnu * L u for every velocity component (3D only).
+
+    Returns a dict->dict closure matching NavierStokesSolver.A_momentum,
+    or None when the kernel doesn't apply (2D, f64-on-TPU, tiny nz, or
+    oversized planes).  Wall a0 folds and periodic wraps reproduce
+    operators/stencil.make_laplacian's homogeneous action exactly
+    (tests/test_pallas.py asserts equality)."""
+    import numpy as np
+
+    from ..mesh import StaggeredMesh  # noqa: F401  (typing only)
+    from ..types import Field
+
+    if mesh.dim != 3:
+        return None
+    if _on_tpu() and jnp.dtype(dtype).itemsize > 4:
+        return None
+    if interpret is None:
+        interpret = not _on_tpu()
+    from ..linalg.pallas_pcr import device_vmem_budget
+
+    budget = device_vmem_budget(_VMEM_BUDGET)
+    from .stencil import VEL_NAMES
+
+    applies = {}
+    for c in range(mesh.dim):
+        shape = mesh.shape(Field(c))
+        nz, ny, nx = shape
+        bz = 8
+        # ~10 block-sized live temporaries (shifted concats) per block
+        while bz > 1 and bz * ny * nx * 4 * 10 > budget:
+            bz //= 2
+        vecs = {}
+        for d in range(3):
+            axis = 2 - d  # direction d -> array axis
+            tag = ("x", "y", "z")[d]
+            line = mesh.lines[Field(c)][d]
+            cn = 1.0 / (np.asarray(line.dneg()) * np.asarray(line.interior_dl))
+            cp = 1.0 / (np.asarray(line.dpos()) * np.asarray(line.interior_dl))
+            fold = np.zeros_like(cn)
+            CN, CP = cn.copy(), cp.copy()
+            if not mesh.periodic[d]:
+                fold[0] = bcset.specs[(c, 2 * d + 0)].a0 * cn[0]
+                fold[-1] += bcset.specs[(c, 2 * d + 1)].a0 * cp[-1]
+                CN[0] = 0.0
+                CP[-1] = 0.0
+            ldiag = -(cn + cp) + fold
+            key = {"x": ("Dx", "CNx", "CPx"), "y": ("Dy", "CNy", "CPy"),
+                   "z": ("Dz", "CNz", "CPz")}[tag]
+            vecs[key[0]] = -cnu * ldiag
+            vecs[key[1]] = -cnu * CN
+            vecs[key[2]] = -cnu * CP
+        vecs["Dz"] = vecs["Dz"] + 1.0 / dt
+        per = (bool(mesh.periodic[2]), bool(mesh.periodic[1]),
+               bool(mesh.periodic[0]))  # (pz, py, px)
+        apply_c = make_zblocked_helmholtz(shape, vecs, per, dtype,
+                                          interpret=interpret, bz=bz)
+        if apply_c is None:
+            return None
+        applies[VEL_NAMES[c]] = apply_c
+
+    def A_momentum(u):
+        return {name: applies[name](u[name]) for name in applies}
+
+    A_momentum.traffic_arrays = 2
+    return A_momentum

@@ -129,6 +129,13 @@ def make_laplacian(mesh: StaggeredMesh, bcset: BoundarySet, dtype=jnp.float32):
             cpos[c].append(jnp.asarray(mesh.bcast(Field(c), d, cp), dtype=dtype))
 
     def component(c, f, bcstate, homogeneous=False):
+        # NOTE on formulation (round-5 A/B, TPU v5e, validation/
+        # perf_spmv.jsonl): the extend-based ghost form below measures
+        # 3.15 ms for the 3-component homogeneous apply at 256^3 vs
+        # 5.22 ms for a pad/shift+broadcast rewrite (XLA relayouts the
+        # minor-axis pads) — extend stays.  The hot 3D A_momentum path
+        # bypasses this entirely via the z-blocked Pallas kernel
+        # (operators/pallas_stencil.make_pallas_momentum, 1.79 ms).
         out = None
         for d in range(mesh.dim):
             axis = mesh.axis_of(d)

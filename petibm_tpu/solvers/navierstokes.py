@@ -241,6 +241,22 @@ class NavierStokesSolver:
             lu = self.lap(u, None, homogeneous=True)
             return tmap(lambda a, b: a / dt - cimp * nu * b, u, lu)
 
+        # fused z-blocked Pallas apply for the 3D implicit momentum
+        # operator: XLA's 3D stencil measures ~7-12x the 2-array roofline
+        # at 256^3 (pad/shift relayouts); the kernel streams z-blocks with
+        # halo planes (docs/performance.md).  Equality with the stencil
+        # formulation is asserted by tests/test_pallas.py.
+        if (self.mesh.dim == 3 and cimp * nu > 0.0
+                and self.sharding_mesh is None
+                and not bool(config.get("parameters", {}).get(
+                    "disablePallas", False))):
+            from ..operators.pallas_stencil import make_pallas_momentum
+
+            fused_mom = make_pallas_momentum(
+                self.mesh, self.bc, dt, cimp * nu, self.dtype)
+            if fused_mom is not None:
+                A_momentum = fused_mom
+
         def A_poisson(phi):
             return self.div(self.bn(self.grad(phi)), None, homogeneous=True)
 

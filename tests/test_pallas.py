@@ -105,3 +105,46 @@ def test_separable_kernels_match_operator():
         got = ps.poisson_apply_separable(phi, aux, interpret=True)
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12,
                                    atol=1e-13)
+
+
+def test_pallas_momentum_matches_stencil_3d():
+    """The z-blocked fused momentum apply (make_pallas_momentum) must
+    reproduce A u = u/dt - cnu*L u from the extend-based homogeneous
+    Laplacian on a mixed periodic/wall 3D mesh."""
+    import petibm_tpu.operators.pallas_stencil as ps
+    from petibm_tpu.operators.stencil import VEL_NAMES, make_laplacian
+
+    cfg = cavity_config(10, 12)
+    cfg["mesh"].append({"direction": "z", "start": 0.0, "subDomains": [
+        {"end": 1.0, "cells": 16, "stretchRatio": 1.0}]})
+    cfg["flow"]["boundaryConditions"] = [
+        {"location": "xMinus", "u": ["DIRICHLET", 0.0],
+         "v": ["DIRICHLET", 0.0], "w": ["DIRICHLET", 0.0]},
+        {"location": "xPlus", "u": ["DIRICHLET", 0.0],
+         "v": ["DIRICHLET", 0.0], "w": ["DIRICHLET", 0.0]},
+        {"location": "yMinus", "u": ["NEUMANN", 0.0],
+         "v": ["DIRICHLET", 0.0], "w": ["DIRICHLET", 0.0]},
+        {"location": "yPlus", "u": ["DIRICHLET", 1.0],
+         "v": ["DIRICHLET", 0.0], "w": ["DIRICHLET", 0.0]},
+        {"location": "zMinus", "u": ["PERIODIC", 0.0],
+         "v": ["PERIODIC", 0.0], "w": ["PERIODIC", 0.0]},
+        {"location": "zPlus", "u": ["PERIODIC", 0.0],
+         "v": ["PERIODIC", 0.0], "w": ["PERIODIC", 0.0]},
+    ]
+    mesh = StaggeredMesh(cfg)
+    bcs = BoundarySet(mesh, cfg)
+    dt, cnu = 0.01, 0.037
+    lap = make_laplacian(mesh, bcs, jnp.float64)
+    fused = ps.make_pallas_momentum(mesh, bcs, dt, cnu, jnp.float64,
+                                    interpret=True)
+    assert fused is not None
+    rng = np.random.default_rng(3)
+    q = {VEL_NAMES[c]: jnp.asarray(
+        rng.standard_normal(mesh.shape(Field(c)))) for c in range(3)}
+    lu = lap(q, None, homogeneous=True)
+    got = fused(q)
+    for c in range(3):
+        name = VEL_NAMES[c]
+        want = np.asarray(q[name]) / dt - cnu * np.asarray(lu[name])
+        np.testing.assert_allclose(np.asarray(got[name]), want,
+                                   rtol=1e-11, atol=1e-12)
