@@ -151,4 +151,36 @@ def make_laplacian(mesh: StaggeredMesh, bcset: BoundarySet, dtype=jnp.float32):
         return {VEL_NAMES[c]: component(c, q[VEL_NAMES[c]], bcstate, homogeneous)
                 for c in range(mesh.dim)}
 
+    def correction(bcstate):
+        """The a1 (inhomogeneous) part alone: L(q, bc) - L(q, hom) — the
+        reference's LCorrection MatShell action (createlaplacian.cpp).
+        Ghosts obey a0*target + a1 with a1 independent of q, so the
+        correction is a boundary-adjacent surface field: cedge * a1 per
+        non-periodic face.  O(surface) instead of the two extra
+        full-grid sweeps the difference form costs (the round-5 3D RHS
+        hotspot — see _rhs_velocity)."""
+        out = {}
+        for c in range(mesh.dim):
+            shape = mesh.shape(Field(c))
+            corr = jnp.zeros(shape, dtype)
+            for d in range(mesh.dim):
+                if mesh.periodic[d]:
+                    continue
+                axis = mesh.axis_of(d)
+                for side, cvecs in ((0, cneg), (1, cpos)):
+                    spec_key = bcset.specs[(c, 2 * d + side)].key
+                    a1 = bcstate[spec_key]["a1"]
+                    cvec = cvecs[c][d]
+                    pos = 0 if side == 0 else shape[axis] - 1
+                    cedge = _axslice(cvec, axis,
+                                     0 if side == 0 else
+                                     cvec.shape[axis] - 1, 1)
+                    idx = [slice(None)] * len(shape)
+                    idx[axis] = slice(pos, pos + 1)
+                    corr = corr.at[tuple(idx)].add(
+                        cedge * jnp.expand_dims(a1, axis).astype(dtype))
+            out[VEL_NAMES[c]] = corr
+        return out
+
+    laplacian.correction = correction
     return laplacian

@@ -538,16 +538,22 @@ class NavierStokesSolver:
             for c, h in zip(self.conv_ti.explicit_coeffs, conv):
                 rhs1 = tmap(lambda r, x: r + c * x, rhs1, h)
         if self.diff_ti.explicit_coeffs:
-            diff = (tmap(lambda x: nu * x, self.lap(q, bcstate)),) + diff[:-1]
+            # L(q, bc) assembled as ONE homogeneous sweep + the O(surface)
+            # a1 correction — the inhomogeneous extend form costs a
+            # ghost-padded copy per direction (the round-5 3D RHS hotspot)
+            lq = tmap(lambda a, b: a + b,
+                      self.lap(q, None, homogeneous=True),
+                      self.lap.correction(bcstate))
+            diff = (tmap(lambda x: nu * x, lq),) + diff[:-1]
             for c, h in zip(self.diff_ti.explicit_coeffs, diff):
                 rhs1 = tmap(lambda r, x: r + c * x, rhs1, h)
         # implicit BC correction: update a1, add a_imp * nu * Lbc u
+        # (Lbc = L(q, bc) - L(q, hom) = the a1 surface correction alone,
+        # with the POST-update_eqs a1 — reference navierstokes.cpp:505)
         bcstate = self.bc.update_eqs(bcstate, q, dt)
         if cimp != 0.0:
-            lfull = self.lap(q, bcstate)
-            lhom = self.lap(q, None, homogeneous=True)
-            rhs1 = tmap(lambda r, a, b: r + cimp * nu * (a - b),
-                        rhs1, lfull, lhom)
+            rhs1 = tmap(lambda r, x: r + cimp * nu * x,
+                        rhs1, self.lap.correction(bcstate))
         state = dict(state, bc=bcstate, conv=conv, diff=diff)
         return rhs1, state
 

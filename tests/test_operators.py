@@ -341,3 +341,45 @@ def test_flux_velocity_converters_roundtrip():
         np.testing.assert_allclose(np.asarray(m[k]),
                                    np.asarray(mh[k]) / np.asarray(r[k]),
                                    rtol=1e-14)
+
+
+def test_laplacian_correction_matches_difference(tmp_path):
+    """laplacian.correction(bc) must equal L(q, bc) - L(q, hom) exactly
+    (the reference's LCorrection) on mixed Dirichlet/Neumann/convective/
+    periodic faces — the O(surface) form replacing two full sweeps."""
+    import numpy as np
+
+    from test_mesh import cavity_config
+    from petibm_tpu.boundary import BoundarySet
+    from petibm_tpu.mesh import StaggeredMesh
+    from petibm_tpu.operators.stencil import VEL_NAMES, make_laplacian
+    from petibm_tpu.types import Field
+
+    cfg = cavity_config(13, 11)
+    cfg["flow"]["boundaryConditions"] = [
+        {"location": "xMinus", "u": ["DIRICHLET", 1.0],
+         "v": ["DIRICHLET", 0.0]},
+        {"location": "xPlus", "u": ["CONVECTIVE", 1.0],
+         "v": ["CONVECTIVE", 1.0]},
+        {"location": "yMinus", "u": ["PERIODIC", 0.0],
+         "v": ["PERIODIC", 0.0]},
+        {"location": "yPlus", "u": ["PERIODIC", 0.0],
+         "v": ["PERIODIC", 0.0]},
+    ]
+    mesh = StaggeredMesh(cfg)
+    bcs = BoundarySet(mesh, cfg)
+    lap = make_laplacian(mesh, bcs, jnp.float64)
+    rng = np.random.default_rng(8)
+    q = {VEL_NAMES[c]: jnp.asarray(
+        rng.standard_normal(mesh.shape(Field(c)))) for c in range(2)}
+    bcstate = bcs.init_state(q)
+    # perturb a1 so the test isn't trivially zero
+    bcstate = {k: {kk: vv + 0.37 if kk == "a1" else vv
+                   for kk, vv in v.items()} for k, v in bcstate.items()}
+    want = jax.tree_util.tree_map(
+        lambda a, b: a - b, lap(q, bcstate), lap(q, None, homogeneous=True))
+    got = lap.correction(bcstate)
+    for c in range(2):
+        np.testing.assert_allclose(np.asarray(got[VEL_NAMES[c]]),
+                                   np.asarray(want[VEL_NAMES[c]]),
+                                   atol=1e-12)
