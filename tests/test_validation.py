@@ -189,3 +189,15 @@ def test_recorded_tgv3d_dissipation():
     assert 0.010 <= r["peak_dissipation"] <= 0.0135, r
     assert 8.0 <= r["peak_time"] <= 10.0, r
     assert r["t_final"] >= 19.99
+
+
+def test_physics_records_carry_provenance():
+    """Every physics validation record must be stamped with the git SHA
+    of the run that produced it (scripts/provenance.py) — a drifted
+    solver cannot hide behind a stale recorded number."""
+    for case in ("re40", "re200", "re550", "re3000", "oscillating",
+                 "sphere300", "tgv3d", "cavity_ghia", "flatplate",
+                 "multicylinders"):
+        r = _recorded(case)
+        prov = r.get("provenance")
+        assert prov and prov.get("git_sha"), f"{case} missing provenance"
