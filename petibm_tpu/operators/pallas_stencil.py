@@ -186,15 +186,20 @@ def make_pallas_poisson(mg, interpret: bool | None = None):
 # lives in D*) and periodic z wrap via modular halo-plane index maps.
 
 
-def _hh_kernel(periodic_y, periodic_x, bz: int = 0, nz: int = 0):
+def _hh_kernel(periodic_y, periodic_x, bz: int = 0, nz: int = 0,
+               scaled: bool = False):
     """``bz``/``nz`` nonzero => the grid doesn't tile nz: zero the padded
     z rows after load (their content is undefined — possibly NaN, and
-    0 * NaN would poison the last valid row's neighbor term)."""
-    def kernel(flo_ref, f_ref, fhi_ref, dz_ref, cnz_ref, cpz_ref,
-               dy_ref, cny_ref, cpy_ref, dx_ref, cnx_ref, cpx_ref,
-               out_ref):
+    0 * NaN would poison the last valid row's neighbor term).
+    ``scaled``: three extra 1D refs (Sz, Sy, Sx) multiply the result —
+    the rank-1 perpendicular-area factor of the conservative Poisson
+    operator (A = prod(w) * sum_d T_d / w_d)."""
+    def kernel(*refs):
         from jax.experimental import pallas as pl
 
+        (flo_ref, f_ref, fhi_ref, dz_ref, cnz_ref, cpz_ref,
+         dy_ref, cny_ref, cpy_ref, dx_ref, cnx_ref, cpx_ref) = refs[:12]
+        out_ref = refs[-1]
         f = f_ref[:]
         if bz:
             gz = (pl.program_id(0) * bz
@@ -216,16 +221,21 @@ def _hh_kernel(periodic_y, periodic_x, bz: int = 0, nz: int = 0):
             zx = jnp.zeros_like(f[:, :, :1])
             lo_x = jnp.concatenate([zx, f[:, :, :-1]], axis=2)
             hi_x = jnp.concatenate([f[:, :, 1:], zx], axis=2)
-        out_ref[:] = (f * (dz_ref[:] + dy_ref[:] + dx_ref[:])
-                      + cnz_ref[:] * lo_z + cpz_ref[:] * hi_z
-                      + cny_ref[:] * lo_y + cpy_ref[:] * hi_y
-                      + cnx_ref[:] * lo_x + cpx_ref[:] * hi_x)
+        out = (f * (dz_ref[:] + dy_ref[:] + dx_ref[:])
+               + cnz_ref[:] * lo_z + cpz_ref[:] * hi_z
+               + cny_ref[:] * lo_y + cpy_ref[:] * hi_y
+               + cnx_ref[:] * lo_x + cpx_ref[:] * hi_x)
+        if scaled:
+            sz_ref, sy_ref, sx_ref = refs[12:15]
+            out = out * (sz_ref[:] * sy_ref[:] * sx_ref[:])
+        out_ref[:] = out
 
     return kernel
 
 
 def make_zblocked_helmholtz(shape, vecs, periodic, dtype,
-                            interpret=False, bz: int = 8):
+                            interpret=False, bz: int = 8,
+                            scale_vecs=None):
     """Compile the z-blocked 7-point apply for one velocity component.
 
     ``shape`` = (nz, ny, nx); ``vecs`` = dict with per-axis 1D numpy
@@ -278,19 +288,28 @@ def make_zblocked_helmholtz(shape, vecs, periodic, dtype,
     yvec = pl.BlockSpec((1, ny, 1), lambda i: (0, 0, 0))
     xvec = pl.BlockSpec((1, 1, nx), lambda i: (0, 0, 0))
 
+    scaled = scale_vecs is not None
+    in_specs = [plane, blk, plane_hi, zvec, zvec, zvec,
+                yvec, yvec, yvec, xvec, xvec, xvec]
+    extra = ()
+    if scaled:
+        extra = (as3(scale_vecs[0], 0), as3(scale_vecs[1], 1),
+                 as3(scale_vecs[2], 2))
+        in_specs += [zvec, yvec, xvec]
     call = pl.pallas_call(
-        _hh_kernel(py, px, bz=(bz if nz % bz else 0), nz=nz),
+        _hh_kernel(py, px, bz=(bz if nz % bz else 0), nz=nz,
+                   scaled=scaled),
         grid=(nblk,),
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dtype),
-        in_specs=[plane, blk, plane_hi, zvec, zvec, zvec,
-                  yvec, yvec, yvec, xvec, xvec, xvec],
+        in_specs=in_specs,
         out_specs=blk,
         compiler_params=_params(pltpu),
         interpret=interpret,
     )
 
     def apply(f):
-        return call(f, f, f, dz, cnz, cpz, dy, cny, cpy, dx, cnx, cpx)
+        return call(f, f, f, dz, cnz, cpz, dy, cny, cpy, dx, cnx, cpx,
+                    *extra)
 
     apply.traffic_arrays = 2
     return apply
@@ -364,3 +383,48 @@ def make_pallas_momentum(mesh, bcset, dt: float, cnu: float, dtype,
 
     A_momentum.traffic_arrays = 2
     return A_momentum
+
+
+def make_pallas_poisson_zblocked(mg, interpret: bool | None = None):
+    """z-blocked streaming apply of the 3D conservative Poisson operator
+    (PoissonMG level 0 / -D B1 G), for the grids the whole-array kernel
+    declines.  A = prod(w) * sum_d T_d / w_d keeps every coefficient a
+    per-axis 1D vector: D_d = (c_d[:-1]+c_d[1:])/w_d, CN_d = -c_d[:-1]/w_d,
+    CP_d = -c_d[1:]/w_d, with the rank-1 scale (w_z, w_y, w_x) applied
+    in-kernel.  Periodic wrap rides the same c-vector entries
+    (line_operator's wrap coefficient) + modular halo maps."""
+    import numpy as np
+
+    level = mg.levels[0]
+    if len(level.shape) != 3:
+        return None
+    if _on_tpu() and jnp.dtype(mg.dtype).itemsize > 4:
+        return None
+    if interpret is None:
+        interpret = not _on_tpu()
+
+    vecs = {}
+    scale = [None, None, None]
+    for d in range(3):
+        axis = 2 - d
+        c = np.asarray(level.c1d[d], np.float64)
+        w = np.asarray(level.w1d[d], np.float64)
+        tag = ("x", "y", "z")[d]
+        key = {"x": ("Dx", "CNx", "CPx"), "y": ("Dy", "CNy", "CPy"),
+               "z": ("Dz", "CNz", "CPz")}[tag]
+        vecs[key[0]] = (c[:-1] + c[1:]) / w
+        vecs[key[1]] = -c[:-1] / w
+        vecs[key[2]] = -c[1:] / w
+        scale[axis] = w
+    per = (bool(level.periodic[2]), bool(level.periodic[1]),
+           bool(level.periodic[0]))
+    apply_z = make_zblocked_helmholtz(
+        tuple(level.shape), vecs, per, mg.dtype, interpret=interpret,
+        scale_vecs=tuple(scale))
+    if apply_z is None:
+        return None
+    # periodic wrap coefficients: CN[0]/CP[n-1] are NONZERO for periodic
+    # axes (the wrap), which is exactly what the kernel's roll/modular
+    # paths consume; non-periodic axes have c[0] = c[n] = 0 already.
+    apply_z.traffic_arrays = 2
+    return apply_z

@@ -372,9 +372,14 @@ class NavierStokesSolver:
                 and self.sharding_mesh is None  # kernel has no GSPMD rule
                 and not bool(config.get("parameters", {}).get(
                     "disablePallas", False))):
-            from ..operators.pallas_stencil import make_pallas_poisson
+            from ..operators.pallas_stencil import (
+                make_pallas_poisson, make_pallas_poisson_zblocked)
 
             fused = make_pallas_poisson(self.poisson_mg)
+            if fused is None and self.mesh.dim == 3:
+                # streaming-size 3D grids: the z-blocked kernel (XLA's
+                # 3D stencils measure 7-12x off the bandwidth roofline)
+                fused = make_pallas_poisson_zblocked(self.poisson_mg)
             if fused is not None:
                 negA_p = fused
                 self._negA_p = fused

@@ -38,12 +38,12 @@ def test_pallas_declines_periodic():
     assert make_pallas_poisson(mg, interpret=True) is None
 
 
-def _random_mg(shape_xy, seed=0, dim_widths=None):
+def _random_mg(shape_xy, seed=0, dim_widths=None, periodic=None):
     """PoissonMG on stretched widths; returns (mg, random phi)."""
     rng = np.random.default_rng(seed)
     widths = dim_widths or [np.geomspace(1.0, 1.7, n) for n in shape_xy]
-    mg = PoissonMG(widths, [False] * len(widths), dtype=jnp.float64,
-                   scale=0.01)
+    mg = PoissonMG(widths, periodic or [False] * len(widths),
+                   dtype=jnp.float64, scale=0.01)
     shape = tuple(len(w) for w in reversed(widths))
     phi = jnp.asarray(rng.standard_normal(shape))
     return mg, phi
@@ -148,3 +148,20 @@ def test_pallas_momentum_matches_stencil_3d():
         want = np.asarray(q[name]) / dt - cnu * np.asarray(lu[name])
         np.testing.assert_allclose(np.asarray(got[name]), want,
                                    rtol=1e-11, atol=1e-12)
+
+
+def test_pallas_poisson_zblocked_matches_operator():
+    """The z-blocked scaled Poisson kernel against mg.apply_op on 3D
+    stretched non-periodic and mixed-periodic grids (incl. a z size the
+    block grid does not tile)."""
+    import petibm_tpu.operators.pallas_stencil as ps
+
+    for ns, per in (([12, 10, 32], [False, False, False]),
+                    ([13, 16, 32], [True, True, False]),
+                    ([16, 10, 24], [False, True, True])):
+        mg, phi = _random_mg(ns, periodic=per)
+        apply_z = ps.make_pallas_poisson_zblocked(mg, interpret=True)
+        assert apply_z is not None, (ns, per)
+        want = np.asarray(mg.apply_op(0, phi))
+        got = np.asarray(apply_z(phi))
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
