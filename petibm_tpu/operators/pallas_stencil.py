@@ -428,3 +428,156 @@ def make_pallas_poisson_zblocked(mg, interpret: bool | None = None):
     # paths consume; non-periodic axes have c[0] = c[n] = 0 already.
     apply_z.traffic_arrays = 2
     return apply_z
+
+
+# ----------------------------------------------------------------------
+# z-blocked divergence-form convection N(u) (3D)
+#
+# The XLA closure (operators/convection.py) extends each component once
+# and forms the 2-point averages as slice arithmetic; at 256^3 the
+# 27-window chain runs several streaming passes.  Here the extended
+# arrays (ghosts filled by BoundarySet.extend, still XLA) feed one
+# z-blocked kernel per output component: block + two trailing halo
+# planes per input, all 9 flux terms formed in VMEM, traffic ~ 3 reads
+# + 1 write per cell.
+
+
+def _conv_kernel(dim_offsets, bz):
+    """dim_offsets: static list of (ext_index, slice-start offsets) term
+    structure captured by the caller closure; here we just assemble."""
+    def kernel(*refs):
+        # refs: for each of 3 ext arrays: block, plane1, plane2; then
+        # inv-dl vecs (z, y, x); then out
+        stacks = []
+        for e in range(3):
+            blk, p1, p2 = refs[3 * e], refs[3 * e + 1], refs[3 * e + 2]
+            stacks.append(jnp.concatenate([blk[:], p1[:], p2[:]], axis=0))
+        ivz, ivy, ivx = refs[9][:], refs[10][:], refs[11][:]
+        out_ref = refs[-1]
+
+        def win(e, offs, shape):
+            st = stacks[e]
+            idx = tuple(slice(1 + offs.get(ax, 0),
+                              1 + offs.get(ax, 0) + shape[ax])
+                        for ax in range(3))
+            return st[idx]
+
+        out_ref[:] = dim_offsets(win, (out_ref.shape[0],
+                                       out_ref.shape[1],
+                                       out_ref.shape[2]),
+                                 (ivz, ivy, ivx))
+
+    return kernel
+
+
+def make_pallas_convection(mesh, bcset, dtype, interpret: bool | None = None,
+                           bz: int = 8):
+    """Fused 3D convection: returns ``conv(q, bcstate)`` matching
+    operators/convection.make_convection (equality pinned by
+    tests/test_pallas.py), or None when the kernel doesn't apply."""
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..linalg.pallas_pcr import _params, device_vmem_budget
+    from ..types import Field
+    from .stencil import VEL_NAMES
+
+    if mesh.dim != 3:
+        return None
+    if _on_tpu() and jnp.dtype(dtype).itemsize > 4:
+        return None
+    if interpret is None:
+        interpret = not _on_tpu()
+    budget = device_vmem_budget(_VMEM_BUDGET)
+
+    shapes = [mesh.shape(Field(c)) for c in range(3)]
+    ext_shapes = [tuple(s + 2 for s in sh) for sh in shapes]
+    maxplane = max(sh[1] * sh[2] for sh in ext_shapes)
+    while bz > 2 and (bz + 2) * maxplane * 4 * 6 > budget:
+        bz //= 2
+
+    inv_dl = {c: [np.asarray(mesh.bcast(Field(c), d, 1.0 / mesh.dl(Field(c), d)),
+                             np.float64)
+                  for d in range(3)] for c in range(3)}
+
+    calls = []
+    for c in range(3):
+        NZ, NY, NX = shapes[c]
+        nblk = -(-NZ // bz)
+        if nblk < 2:
+            return None
+
+        def build_terms(c=c):
+            # returns f(win, shape, (ivz, ivy, ivx)) -> out block
+            def terms(win, shape, ivs):
+                # ivs are (bz,1,1)/(1,NY,1)/(1,1,NX) blocks of the three
+                # per-direction 1/dl broadcasts for component c
+                iv = {2: ivs[0], 1: ivs[1], 0: ivs[2]}  # direction d=2 is z
+                total = None
+                for d in range(3):
+                    ax = 2 - d  # direction -> array axis
+                    if d == c:
+                        fW = 0.5 * (win(c, {ax: -1}, shape)
+                                    + win(c, {ax: 0}, shape))
+                        fE = 0.5 * (win(c, {ax: 0}, shape)
+                                    + win(c, {ax: 1}, shape))
+                        term = (fE * fE - fW * fW) * iv[d]
+                    else:
+                        cax = 2 - c
+                        aM = 0.5 * (win(c, {ax: -1}, shape)
+                                    + win(c, {ax: 0}, shape))
+                        aP = 0.5 * (win(c, {ax: 0}, shape)
+                                    + win(c, {ax: 1}, shape))
+                        advM = 0.5 * (win(d, {ax: -1, cax: 0}, shape)
+                                      + win(d, {ax: -1, cax: 1}, shape))
+                        advP = 0.5 * (win(d, {ax: 0, cax: 0}, shape)
+                                      + win(d, {ax: 0, cax: 1}, shape))
+                        term = (advP * aP - advM * aM) * iv[d]
+                    total = term if total is None else total + term
+                return total
+
+            return terms
+
+        in_specs = []
+        for e in range(3):
+            EZ, EY, EX = ext_shapes[e]
+            in_specs.append(pl.BlockSpec((bz, EY, EX), lambda i: (i, 0, 0)))
+            for off in (0, 1):
+                in_specs.append(pl.BlockSpec(
+                    (1, EY, EX),
+                    (lambda off, ez: lambda i: (
+                        jnp.minimum(i * bz + bz + off, ez - 1), 0, 0))(
+                            off, EZ)))
+        zvec = pl.BlockSpec((bz, 1, 1), lambda i: (i, 0, 0))
+        yvec = pl.BlockSpec((1, NY, 1), lambda i: (0, 0, 0))
+        xvec = pl.BlockSpec((1, 1, NX), lambda i: (0, 0, 0))
+        in_specs += [zvec, yvec, xvec]
+
+        vz = jnp.asarray(inv_dl[c][2].reshape(-1, 1, 1), dtype)
+        vy = jnp.asarray(inv_dl[c][1].reshape(1, -1, 1), dtype)
+        vx = jnp.asarray(inv_dl[c][0].reshape(1, 1, -1), dtype)
+
+        call = pl.pallas_call(
+            _conv_kernel(build_terms(), bz),
+            grid=(nblk,),
+            out_shape=jax.ShapeDtypeStruct((NZ, NY, NX), dtype),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((bz, NY, NX), lambda i: (i, 0, 0)),
+            compiler_params=_params(pltpu),
+            interpret=interpret,
+        )
+        calls.append((call, vz, vy, vx))
+
+    def convection(q, bcstate):
+        ext = [bcset.extend(q[VEL_NAMES[e]], e, bcstate) for e in range(3)]
+        out = {}
+        for c in range(3):
+            call, vz, vy, vx = calls[c]
+            args = []
+            for e in range(3):
+                args += [ext[e], ext[e], ext[e]]
+            out[VEL_NAMES[c]] = call(*args, vz, vy, vx)
+        return out
+
+    return convection

@@ -231,6 +231,17 @@ class NavierStokesSolver:
         self.div = make_divergence(mesh, bc, dtype)
         self.lap = make_laplacian(mesh, bc, dtype)
         self.convect = make_convection(mesh, bc, dtype)
+        # fused z-blocked 3D convection kernel (equality pinned by
+        # tests/test_pallas.py; XLA's slice-window chain runs several
+        # streaming passes at DNS sizes)
+        if (mesh.dim == 3 and self.sharding_mesh is None
+                and not bool(config.get("parameters", {}).get(
+                    "disablePallas", False))):
+            from ..operators.pallas_stencil import make_pallas_convection
+
+            fused_conv = make_pallas_convection(mesh, bc, dtype)
+            if fused_conv is not None:
+                self.convect = fused_conv
         self.bn_order = int(config.get("parameters", {}).get("BN", 1))
         self.bn = make_bn(self.lap, self.dt,
                           self.diff_ti.implicit_coeff * self.nu, self.bn_order)
