@@ -252,6 +252,11 @@ class NavierStokesSolver:
             lu = self.lap(u, None, homogeneous=True)
             return tmap(lambda a, b: a / dt - cimp * nu * b, u, lu)
 
+        # the stencil closure stays available for setup-time probing
+        # (extract_diagonal runs eagerly on the CPU setup device, where
+        # the compiled Pallas kernel below cannot execute)
+        self._A_momentum_stencil = A_momentum
+
         # fused z-blocked Pallas apply for the 3D implicit momentum
         # operator: XLA's 3D stencil measures ~7-12x the 2-array roofline
         # at 256^3 (pad/shift relayouts); the kernel streams z-blocks with
@@ -332,7 +337,7 @@ class NavierStokesSolver:
         else:
             M_mom = None
             if vopts.get("pc") != "none":
-                diag_mom = extract_diagonal(self.A_momentum,
+                diag_mom = extract_diagonal(self._A_momentum_stencil,
                                             tmap(jnp.zeros_like, q),
                                             radius=1)
 
