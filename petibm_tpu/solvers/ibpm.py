@@ -95,12 +95,29 @@ class IBPMSolver(ForcesLogMixin, NavierStokesSolver):
         # parameters.coupledDirect: false.
         params = config.get("parameters", {})
         pc = popts.get("pc", "mg")
-        use_direct = (not self.is_ref_p and self.bn_order == 1
+        use_direct = (self.bn_order == 1
                       and not self.delta.windowed
                       and self.sharding_mesh is None
                       and pc in ("mg", "fdm")
                       and bool(params.get("coupledDirect", True)))
         if use_direct:
+            if self.is_ref_p:
+                # pinned-pressure (AmgX-parity) backend: the pinned
+                # system is exactly the projected Schur solve with a
+                # compatibility shift + gauge fix (see
+                # _build_schur_solver's pinned adapter) — the outer-CG
+                # path stalls on this system at scale (the 450^2 GPU
+                # case diverged at 20000 iterations)
+                from ..linalg.fdm import FastDiagPoisson, fdm_config
+
+                if getattr(self, "poisson_fdm", None) is None:
+                    fdm_cfg = fdm_config(params)
+                    self.poisson_fdm = FastDiagPoisson(
+                        self.mesh.dxp, self.mesh.periodic,
+                        dtype=self.dtype, scale=self.dt,
+                        precision=fdm_cfg.get("precision", "highest"))
+                self._coupled_solver = self._build_schur_solver(negM, popts)
+                return
             p_pre = self._make_poisson_pc(popts)
             if getattr(self, "poisson_fdm", None) is not None:
                 self._coupled_solver = self._build_schur_solver(negM, popts)
@@ -178,6 +195,31 @@ class IBPMSolver(ForcesLogMixin, NavierStokesSolver):
                 return {"p": dp, "f": f2}
 
         schur = _Schur()
+        if self.is_ref_p:
+            # pinned-dof adapter: the pinned operator replaces row/col 0
+            # of the pressure block with the identity (A_p above).  Its
+            # exact inverse in terms of the projected solve: the pinned
+            # solution x has x_p[0] = r_p[0] =: s, and x' = x - s*e0
+            # solves M x' = r + beta*e0 on rows != 0 where
+            # beta = -sum_{i!=0} r_p[i] makes the rhs sum-free (range of
+            # M); the gauge is fixed by shifting the projected solution
+            # so x'_p[0] = 0.  Exact up to f32 — the outer solver's
+            # true-residual check covers the rest.
+            inner = schur
+
+            class _PinnedSchur:
+                @staticmethod
+                def solve(r):
+                    rp = r["p"].reshape(-1)
+                    s = rp[0]
+                    beta = s - jnp.sum(rp)  # -sum over i != 0
+                    r2 = dict(r, p=rp.at[0].set(beta).reshape(r["p"].shape))
+                    out = inner.solve(r2)
+                    op = out["p"].reshape(-1)
+                    op = (op - op[0]).at[0].set(s)
+                    return dict(out, p=op.reshape(r["p"].shape))
+
+            schur = _PinnedSchur()
         mode = str(self.config.get("parameters", {}).get(
             "coupledMode", "pcg"))
         if mode == "direct":
@@ -190,9 +232,14 @@ class IBPMSolver(ForcesLogMixin, NavierStokesSolver):
             # at essentially the same cost per step.
             return make_fdm_solver(schur, negM, popts)
 
-        def M_pre(r):
-            out = schur.solve(r)
-            return {"p": out["p"] - jnp.mean(out["p"]), "f": out["f"]}
+        if self.is_ref_p:
+            # the pinned system is nonsingular: no nullspace hygiene, and
+            # mean removal would destroy the pinned gauge
+            M_pre = schur.solve
+        else:
+            def M_pre(r):
+                out = schur.solve(r)
+                return {"p": out["p"] - jnp.mean(out["p"]), "f": out["f"]}
 
         from ..linalg import make_solver as _mk
         return _mk(negM, popts, M=M_pre)

@@ -619,3 +619,27 @@ def test_ibpm_coupled_restart_exact(tmp_path):
     for part in ("p", "f"):
         np.testing.assert_array_equal(np.asarray(rest["dPhi"][part]),
                                       np.asarray(cont["dPhi"][part]))
+
+
+def test_ibpm_pinned_backend_matches_projection(tmp_path):
+    """poissonSolver type: GPU on the COUPLED solver selects the pinned
+    (AmgX-parity) treatment, now solved via the Schur-direct pinned
+    adapter (projected solve + compatibility shift + gauge fix).  Forces
+    must match the mean-projection backend; pressures differ by at most
+    a constant."""
+    da, db = tmp_path / "a", tmp_path / "b"
+    da.mkdir(), db.mkdir()
+    sa = IBPMSolver(ib_config(da, nt=5))
+    sa.run()
+    fa, pa = np.asarray(sa.state["f"]), np.asarray(sa.state["p"])
+    sa.close()
+    sb = IBPMSolver(ib_config(db, nt=5, solver_extra={
+        "poissonSolver": {"type": "GPU"}}))
+    assert sb.is_ref_p
+    sb.run()
+    fb, pb = np.asarray(sb.state["f"]), np.asarray(sb.state["p"])
+    sb.close()
+    scale = np.abs(fb).max()
+    assert np.abs(fa - fb).max() <= 0.03 * scale
+    d = (pa - pa.mean()) - (pb - pb.mean())
+    assert np.abs(d).max() <= 0.05 * max(np.abs(pb - pb.mean()).max(), 1e-12)
