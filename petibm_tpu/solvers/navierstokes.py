@@ -407,6 +407,39 @@ class NavierStokesSolver:
                 if fused_lp is not None:
                     mg_lp.set_fused_apply(fused_lp)
 
+        if (self.is_ref_p and self.bn_order == 1
+                and self.sharding_mesh is None
+                and getattr(self, "poisson_fdm", None) is None):
+            # pinned-pressure (AmgX-parity) backend: the pinned system's
+            # exact inverse reduces to the projected FDM solve with a
+            # compatibility shift + gauge fix (same algebra as the
+            # coupled solver's pinned adapter, solvers/ibpm.py) — MG-CG
+            # on the pinned system needs ~80 V-cycles/step at 450^2
+            # while this is two transform sets.  Honors fdm: false.
+            from ..linalg.fdm import FastDiagPoisson, fdm_config, make_fdm_solver
+
+            fdm_cfg = fdm_config(params)
+            if bool(fdm_cfg.get("enabled", True)):
+                fdm_pin = FastDiagPoisson(
+                    self.mesh.dxp, self.mesh.periodic, dtype=self.dtype,
+                    scale=self.dt,
+                    precision=fdm_cfg.get("precision", "highest"))
+
+                class _PinnedPoisson:
+                    @staticmethod
+                    def solve(r):
+                        rf = r.reshape(-1)
+                        s = rf[0]
+                        beta = s - jnp.sum(rf)  # -sum over i != 0
+                        x = fdm_pin.solve(
+                            rf.at[0].set(beta).reshape(r.shape)).reshape(-1)
+                        return (x - x[0]).at[0].set(s).reshape(r.shape)
+
+                self.p_solver = make_fdm_solver(_PinnedPoisson, negA_p,
+                                                popts)
+                self._poisson_fdm_pinned = fdm_pin
+                return
+
         if (getattr(self, "poisson_fdm", None) is not None
                 and getattr(self, "_fdm_mode", "direct") == "direct"):
             # direct fast-diagonalization solve (+ residual-checked
